@@ -1,0 +1,139 @@
+"""Config layer tests: INI parsing rules + derived-parameter golden values.
+
+Golden values computed by hand from the reference formulas
+(SPH_Poiseuille.m:62-91) at the shipped config.ini defaults.
+"""
+
+import math
+
+import pytest
+
+from sph_poiseuille_flow_tpu.config import (
+    ConfigError, derive_config, get_ini_numeric, parse_ini_text)
+
+DEFAULT_INI = """
+# comment
+[physical]
+DL = 3.0          # length
+DH = 1.0
+dp = 0.05
+rho0 = 1.0        ; trailing semicolon comment
+mu = 0.1
+U_bulk = 0.666667
+c_f = 15.0
+
+[simulation]
+end_time = 20.0
+output_interval = 1.0
+sort_interval = 100
+restart_from_file = 0
+"""
+
+
+def default_cfg(**kw):
+    ini = parse_ini_text(DEFAULT_INI)
+    kwargs = dict(
+        DL=get_ini_numeric(ini, "physical", "DL"),
+        DH=get_ini_numeric(ini, "physical", "DH"),
+        dp=get_ini_numeric(ini, "physical", "dp"),
+        rho0=get_ini_numeric(ini, "physical", "rho0"),
+        mu=get_ini_numeric(ini, "physical", "mu"),
+        U_bulk=get_ini_numeric(ini, "physical", "U_bulk"),
+        c_f=get_ini_numeric(ini, "physical", "c_f"),
+        end_time=get_ini_numeric(ini, "simulation", "end_time"),
+        output_interval=get_ini_numeric(ini, "simulation", "output_interval"),
+        sort_interval=100, restart_from_file=False,
+    )
+    kwargs.update(kw)
+    return derive_config(**kwargs)
+
+
+class TestParseIni:
+    def test_sections_and_values(self):
+        ini = parse_ini_text(DEFAULT_INI)
+        assert ini["physical"]["DL"] == 3.0
+        assert ini["physical"]["rho0"] == 1.0  # trailing ';' comment stripped
+        assert ini["simulation"]["sort_interval"] == 100.0
+
+    def test_trailing_hash_comment(self):
+        ini = parse_ini_text("[s]\nk = 1.5 # note\n")
+        assert ini["s"]["k"] == 1.5
+
+    def test_string_value_kept(self):
+        ini = parse_ini_text("[s]\nk = hello\n")
+        assert ini["s"]["k"] == "hello"
+
+    def test_key_outside_section_errors(self):
+        with pytest.raises(ConfigError):
+            parse_ini_text("k = 1\n")
+
+    def test_bad_section_name_errors(self):
+        with pytest.raises(ConfigError):
+            parse_ini_text("[bad name]\n")
+
+    def test_line_without_equals_ignored(self):
+        ini = parse_ini_text("[s]\njunk line\nk = 2\n")
+        assert ini["s"]["k"] == 2.0
+
+    def test_missing_key_errors(self):
+        ini = parse_ini_text("[s]\nk = 2\n")
+        with pytest.raises(ConfigError):
+            get_ini_numeric(ini, "s", "absent")
+        with pytest.raises(ConfigError):
+            get_ini_numeric(ini, "absent", "k")
+
+    def test_non_numeric_errors(self):
+        ini = parse_ini_text("[s]\nk = hello\n")
+        with pytest.raises(ConfigError):
+            get_ini_numeric(ini, "s", "k")
+
+
+class TestDerived:
+    def test_golden_defaults(self):
+        cfg = default_cfg()
+        assert cfg.DL == pytest.approx(3.0)
+        assert cfg.DH == pytest.approx(1.0)
+        # g = 12*mu*U_bulk/(rho0*DH^2)
+        assert cfg.gravity_g == pytest.approx(12.0 * 0.1 * 0.666667)
+        assert cfg.U_max == pytest.approx(1.5 * 0.666667)
+        assert cfg.h == pytest.approx(0.065)
+        # cutoff_depth = ceil(2.6)*dp = 3dp; wall = max(4dp, 3dp) = 4dp
+        assert cfg.cutoff_depth == pytest.approx(0.15)
+        assert cfg.wall_thickness == pytest.approx(0.2)
+        assert cfg.transport_coeff == 0.30
+        assert cfg.p0 == pytest.approx(225.0)       # rho0*c_f^2
+        assert cfg.inv_sigma0 == pytest.approx(0.0025)
+        assert cfg.nu == pytest.approx(0.1)
+        assert cfg.periodic_buffer == 0.0
+        assert cfg.tau_target == pytest.approx(cfg.gravity_g * 0.5)
+
+    def test_geometry_snapping(self):
+        cfg = default_cfg(DL=3.01, DH=0.99)
+        assert cfg.DL == pytest.approx(round(3.01 / 0.05) * 0.05)
+        assert cfg.DH == pytest.approx(round(0.99 / 0.05) * 0.05)
+
+    def test_signature_format(self):
+        cfg = default_cfg()
+        sig = cfg.signature
+        assert sig.startswith("DL=3|DH=1|dp=0.05|rho0=1|mu=0.1|Ub=0.666667|")
+        assert sig.endswith("|wall=thick-wall-noslip-dual-dt")
+        assert "si=100" in sig
+
+    def test_sort_interval_validation(self):
+        with pytest.raises(ConfigError):
+            default_cfg(sort_interval=0)
+
+    def test_cutoff_vs_domain_validation(self):
+        # 2h >= DL/2 must be rejected (minimum-image breaks)
+        with pytest.raises(ConfigError):
+            default_cfg(DL=0.25)
+
+    def test_analytic_profile(self):
+        cfg = default_cfg()
+        # max of u(y) at y = DH/2 equals g*DH^2/(8 nu) = 1.5*U_bulk
+        u_center = cfg.analytic_u(cfg.DH / 2)
+        assert u_center == pytest.approx(cfg.U_max, rel=1e-12)
+
+    def test_n_bins(self):
+        assert default_cfg().n_bins == 20
+        assert default_cfg(dp=0.025).n_bins == 40
