@@ -1,0 +1,74 @@
+"""Benchmark: particle-steps/sec at dp=0.025 (BASELINE.json metric).
+
+Runs the high-res preset (DL=3, DH=1, dp=0.025 -> 4800 fluid particles) on
+the default JAX device: warms up/compiles one short interval, then times
+full output intervals of the on-device stepping loop.
+
+Prints ONE JSON line:
+  {"metric": "particle_steps_per_sec_dp0.025", "value": N,
+   "unit": "particle-steps/sec", "vs_baseline": N}
+
+``vs_baseline`` is value / REF_BASELINE_PSPS. The reference publishes no
+throughput numbers (BASELINE.json published: {}), so the denominator is an
+estimate of the reference OpenMP-MEX inner loop at the same scale: 4800
+particles, 6 MEX crossings/step over ~130k pairs of scatter-add arithmetic
+plus marshaling — ~2 ms/step on a typical multicore host => 2.4e6
+particle-steps/sec. The north-star (>=100x) corresponds to
+vs_baseline >= 100.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+REF_BASELINE_PSPS = 2.4e6
+
+
+def main(dp: float = 0.025, n_timed_intervals: int = 2,
+         interval: float = 0.05) -> dict:
+    from sph_poiseuille_flow_tpu import (
+        Engine, build_scene, derive_config, initial_state)
+
+    cfg = derive_config(
+        DL=3.0, DH=1.0, dp=dp, rho0=1.0, mu=0.1, U_bulk=0.666667, c_f=15.0,
+        end_time=20.0, output_interval=interval, sort_interval=100,
+        restart_from_file=False)
+    scene = build_scene(cfg)
+    engine = Engine(cfg, scene)
+    state = initial_state(cfg, scene)
+    state, idx, cache, overflow = engine.init(state)
+    assert not bool(overflow), "neighbor cell overflow at init"
+
+    import jax
+    # warmup: compile + one short interval
+    res = engine.run_interval(state, idx, cache, np.float32(interval))
+    jax.block_until_ready(res.state.x)
+    state, idx, cache = res.state, res.idx, res.cache
+
+    steps = 0
+    t0 = time.perf_counter()
+    for _ in range(n_timed_intervals):
+        res = engine.run_interval(state, idx, cache, np.float32(interval))
+        jax.block_until_ready(res.state.x)
+        state, idx, cache = res.state, res.idx, res.cache
+        steps += int(res.n_steps)
+    elapsed = time.perf_counter() - t0
+    assert not bool(res.overflow), "neighbor cell overflow during bench"
+
+    psps = steps * scene.n_fluid / elapsed
+    out = {
+        "metric": "particle_steps_per_sec_dp0.025",
+        "value": round(psps, 1),
+        "unit": "particle-steps/sec",
+        "vs_baseline": round(psps / REF_BASELINE_PSPS, 3),
+    }
+    print(json.dumps(out))
+    print(f"# {steps} steps x {scene.n_fluid} fluid particles in "
+          f"{elapsed:.3f}s on {jax.devices()[0].platform}", file=sys.stderr)
+    return out
+
+
+if __name__ == "__main__":
+    main()

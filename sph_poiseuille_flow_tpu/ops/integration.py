@@ -36,14 +36,14 @@ import jax.numpy as jnp
 from .neighbors import GridSpec, NeighborCache
 
 
-def verlet_dt(vx_f, vy_f, c_f: float, h: float, nu: float,
-              gravity_g: float, remain):
+def verlet_dt(vx_f, vy_f, c_f: float, h: float, nu, gravity_g, remain):
     """Unified Verlet dt: min(acoustic, viscous, body-force, remaining)
-    (reference: SPH_Poiseuille.m:519-527)."""
+    (reference: SPH_Poiseuille.m:519-527). ``nu`` and ``gravity_g`` may be
+    traced scalars (parameter sweeps vmap over them)."""
     v_max = jnp.sqrt(jnp.max(vx_f * vx_f + vy_f * vy_f))
     dt_acoustic = 0.25 * h / jnp.maximum(c_f + v_max, 1e-12)
-    dt_viscous = 0.125 * h * h / max(nu, 1e-12)
-    dt_body = 0.25 * (h / max(abs(gravity_g), 1e-12)) ** 0.5
+    dt_viscous = 0.125 * h * h / jnp.maximum(nu, 1e-12)
+    dt_body = 0.25 * jnp.sqrt(h / jnp.maximum(jnp.abs(gravity_g), 1e-12))
     dt = jnp.minimum(jnp.minimum(dt_acoustic, dt_viscous),
                      jnp.minimum(dt_body, remain))
     return jnp.maximum(dt, 1e-12)
@@ -73,8 +73,8 @@ def integration_first(spec: GridSpec, cache: NeighborCache, vol,
     p_f = p0 * (rho_f / rho0 - 1.0)
     rho_half = jnp.concatenate([rho_f, rho[nf:]])
     p_half = jnp.concatenate([p_f, jnp.zeros((n_wall,), dtype)])
-    x_half = x.at[:nf].add(0.5 * dt * vx[:nf])
-    y_half = y.at[:nf].add(0.5 * dt * vy[:nf])
+    x_half = jnp.asarray(x).at[:nf].add(0.5 * dt * vx[:nf])
+    y_half = jnp.asarray(y).at[:nf].add(0.5 * dt * vy[:nf])
 
     j = cache.jsafe
     ex = cache.dx / cache.r
@@ -147,8 +147,8 @@ def integration_second(spec: GridSpec, cache: NeighborCache, vol, rho_half,
     into int2, sph_physics_mex.c:1420)."""
     nf = spec.n_fluid
     n_wall = spec.n_total - nf
-    x = x.at[:nf].add(0.5 * dt * vx[:nf])
-    y = y.at[:nf].add(0.5 * dt * vy[:nf])
+    x = jnp.asarray(x).at[:nf].add(0.5 * dt * vx[:nf])
+    y = jnp.asarray(y).at[:nf].add(0.5 * dt * vy[:nf])
 
     j = cache.jsafe
     ex = cache.dx / cache.r
@@ -205,4 +205,5 @@ def verlet_step(spec: GridSpec, cache: NeighborCache, vol,
 def periodic_wrap(spec: GridSpec, x):
     """x <- mod(x, DL) for fluid particles (SPH_Poiseuille.m:570-577)."""
     nf = spec.n_fluid
+    x = jnp.asarray(x)
     return x.at[:nf].set(jnp.mod(x[:nf], spec.DL))

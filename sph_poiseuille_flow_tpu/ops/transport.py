@@ -49,6 +49,6 @@ def transport_correction(spec: GridSpec, cache: NeighborCache, x, y, vol,
     limiter = jnp.clip(100.0 * n2 / (h * h), 0.0, 1.0)
     scale = transport_coeff * h * h * limiter
 
-    x = x.at[:nf].add(scale * inc_x)
-    y = y.at[:nf].add(scale * inc_y)
+    x = jnp.asarray(x).at[:nf].add(scale * inc_x)
+    y = jnp.asarray(y).at[:nf].add(scale * inc_y)
     return x, y

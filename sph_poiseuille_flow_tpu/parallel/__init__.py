@@ -1,0 +1,5 @@
+from .sharding import AXIS, ShardedEngine, make_mesh
+from .sweep import make_workloads, run_sweep
+
+__all__ = ["AXIS", "ShardedEngine", "make_mesh", "make_workloads",
+           "run_sweep"]

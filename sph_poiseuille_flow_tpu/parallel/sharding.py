@@ -1,0 +1,100 @@
+"""Multi-chip scaling: particle-row sharding over a ``jax.sharding.Mesh``.
+
+The reference is single-process shared-memory (OpenMP atomics); its only
+"distribution" mechanism is the periodic ghost-entry halo (SURVEY.md 2.3).
+The TPU-native scale-out re-expresses the hot work — the (n_fluid, C) dense
+neighbor rows and every row-wise physics operator — as GSPMD-partitioned
+computation:
+
+* per-particle (n_total,) state arrays are REPLICATED (tiny at reference
+  scales: ~16 arrays x n_total x 4 B),
+* the (n_fluid, C) candidate/geometry matrices — where ~C x more memory and
+  essentially all FLOPs live — are SHARDED row-wise across the mesh,
+* XLA inserts the all-gathers/reductions over ICI automatically from the
+  sharding annotations (the standard "annotate and let GSPMD partition"
+  recipe).
+
+This keeps the single-chip operator code byte-identical — the sharded
+engine jits the SAME ``Engine._run_interval`` with in/out shardings.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import SPHConfig
+from ..models.poiseuille import Scene
+from ..stepper import Engine, IntervalResult, State
+
+
+AXIS = "shard"
+
+
+def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
+    """1-D device mesh over the first ``n_devices`` available devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"requested {n_devices} devices, only {len(devices)} present")
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (AXIS,))
+
+
+class ShardedEngine:
+    """Engine whose neighbor-row dimension is partitioned across a mesh.
+
+    Usage mirrors ``Engine``: ``init`` then repeated ``run_interval``; all
+    inputs/outputs keep their shardings across calls so state stays
+    device-resident between intervals.
+    """
+
+    def __init__(self, cfg: SPHConfig, scene: Scene, mesh: Mesh):
+        if scene.n_fluid % mesh.devices.size != 0:
+            # GSPMD can pad internally, but an even row split keeps the
+            # partitioned row-sum perfectly balanced; enforce it for clarity
+            raise ValueError(
+                f"n_fluid={scene.n_fluid} must divide evenly over "
+                f"{mesh.devices.size} devices (pad the lattice or choose "
+                f"dp so DL/dp*DH/dp is a multiple of the mesh size)")
+        self.mesh = mesh
+        self.engine = Engine(cfg, scene)
+        self.cfg = cfg
+        self.scene = scene
+        self.spec = self.engine.spec
+
+        repl = NamedSharding(mesh, P())
+        rows = NamedSharding(mesh, P(AXIS, None))
+        self._repl, self._rows = repl, rows
+
+        state_shardings = State(*([repl] * len(State._fields)))
+        from ..ops.neighbors import NeighborCache
+        cache_sh = NeighborCache(*([rows] * len(NeighborCache._fields)))
+
+        self._init = jax.jit(
+            self.engine._init,
+            in_shardings=(state_shardings,),
+            out_shardings=(state_shardings, rows, cache_sh, repl))
+        self._run = jax.jit(
+            self.engine._run_interval,
+            in_shardings=(state_shardings, rows, cache_sh, repl),
+            out_shardings=IntervalResult(
+                state=state_shardings, idx=rows, cache=cache_sh,
+                tau_bottom=repl, tau_top=repl, n_steps=repl, overflow=repl,
+                v_max=repl, n_pairs=repl))
+
+    def init(self, state: State):
+        with self.mesh:
+            return self._init(state)
+
+    def run_interval(self, state: State, idx, cache, interval_len):
+        with self.mesh:
+            return self._run(state, idx, cache,
+                             jnp.asarray(interval_len, jnp.dtype(
+                                 self.cfg.dtype)))

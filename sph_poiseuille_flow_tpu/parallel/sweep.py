@@ -1,0 +1,103 @@
+"""Batched (g, mu) workload sweeps via ``jax.vmap``.
+
+The reference is strictly single-workload; BASELINE.json config 5 calls for
+a vmapped sweep over 8 (gravity, viscosity) workloads. Here the ENTIRE
+output-interval loop (``Engine._run_interval``) is vmapped over per-workload
+(g, mu) scalars: one compiled program advances every workload in lockstep on
+one chip, with per-lane adaptive dt (JAX's while_loop batching rule freezes
+finished lanes).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SPHConfig
+from ..models.poiseuille import Scene, build_scene
+from ..stepper import Engine, initial_state
+from ..utils import postprocess as pp
+
+
+def make_workloads(cfg: SPHConfig, mus: Sequence[float]):
+    """Derive the (g, mu) pairs that keep U_bulk fixed across viscosities:
+    g = 12*mu*U_bulk/(rho0*DH^2) (reference: SPH_Poiseuille.m:71)."""
+    mus = np.asarray(mus, np.float64)
+    gs = 12.0 * mus * cfg.U_bulk / (cfg.rho0 * cfg.DH ** 2)
+    return gs, mus
+
+
+def run_sweep(cfg: SPHConfig, gs, mus, log=print) -> dict:
+    """Run ``len(gs)`` workloads to cfg.end_time in one vmapped program.
+
+    Returns per-workload L2 errors vs each workload's own analytic profile,
+    final states, and throughput. All workloads share the scene geometry.
+    """
+    gs = np.asarray(gs, np.float64)
+    mus = np.asarray(mus, np.float64)
+    assert gs.shape == mus.shape
+    n_work = gs.size
+
+    scene = build_scene(cfg)
+    engine = Engine(cfg, scene)
+    state0 = initial_state(cfg, scene)
+    state0, idx0, cache0, overflow = engine.init(state0)
+    if bool(overflow):
+        raise RuntimeError("neighbor cell capacity exceeded at init")
+
+    bcast = lambda a: jnp.broadcast_to(a, (n_work,) + a.shape)
+    states = jax.tree.map(bcast, state0)
+    idx = bcast(idx0)
+    cache = jax.tree.map(bcast, cache0)
+    dtype = jnp.dtype(cfg.dtype)
+    g_arr = jnp.asarray(gs, dtype)
+    mu_arr = jnp.asarray(mus, dtype)
+
+    run = jax.jit(jax.vmap(engine._run_interval,
+                           in_axes=(0, 0, 0, None, 0, 0)))
+
+    import time
+    t = 0.0
+    total_steps = 0
+    wall = 0.0
+    eps = 1e-9
+    while t < cfg.end_time - eps:
+        target = min(t + cfg.output_interval, cfg.end_time)
+        t0 = time.perf_counter()
+        res = run(states, idx, cache, np.float32(target - t), g_arr, mu_arr)
+        jax.block_until_ready(res.state.x)
+        wall += time.perf_counter() - t0
+        if bool(jnp.any(res.overflow)):
+            raise RuntimeError("neighbor cell capacity exceeded in sweep")
+        states, idx, cache = res.state, res.idx, res.cache
+        steps = int(jnp.sum(res.n_steps))
+        total_steps += steps
+        t = target
+        log(f"sweep output point t={t:.3f}: steps/lane="
+            f"{[int(s) for s in np.asarray(res.n_steps)]}, "
+            f"vmax={[round(float(v), 4) for v in np.asarray(res.v_max)]}")
+
+    # per-workload L2 vs its own analytic profile
+    l2s = []
+    nf = scene.n_fluid
+    for k in range(n_work):
+        xk = np.asarray(states.x[k][:nf], np.float64)
+        yk = np.asarray(states.y[k][:nf], np.float64)
+        uk = np.asarray(states.vx[k][:nf], np.float64)
+        y_mid, u_mean = pp.binned_profile_mean(yk, uk, 0.0, cfg.DH,
+                                               cfg.n_bins)
+        nu_k = mus[k] / cfg.rho0
+        u_exact = gs[k] / (2.0 * nu_k) * y_mid * (cfg.DH - y_mid)
+        l2s.append(pp.compute_l2_error(u_mean, u_exact))
+
+    return {
+        "l2_errors": np.asarray(l2s),
+        "final_states": states,
+        "total_lane_steps": total_steps,
+        "wall_time": wall,
+        "particle_steps_per_sec": total_steps * scene.n_fluid / wall
+        if wall > 0 else float("nan"),
+    }

@@ -1,0 +1,67 @@
+"""CLI driver (maps the reference's top-level script entry,
+``matlab -batch "run('SPH_Poiseuille.m')"``, README.md:99-101).
+
+Usage:
+    python -m sph_poiseuille_flow_tpu.run [--config config.ini] [options]
+
+Path overrides honor the same environment variables as the reference
+(SPH_Poiseuille.m:19-26): SPH_CONFIG_OVERRIDE, SPH_RESTART_PATH_OVERRIDE,
+SPH_RESULT_PNG_OVERRIDE, SPH_PROFILE_PNG_OVERRIDE,
+SPH_POSTPROCESS_MAT_OVERRIDE.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from .config import env_override, load_config
+from .simulation import Simulation, SimulationPaths
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="sph_poiseuille_flow_tpu",
+        description="TPU-native 2D weakly-compressible SPH Poiseuille solver")
+    parser.add_argument("--config", default=None,
+                        help="path to config.ini (default ./config.ini, "
+                             "overridable via SPH_CONFIG_OVERRIDE)")
+    parser.add_argument("--base-dir", default=".",
+                        help="base directory for outputs")
+    parser.add_argument("--dtype", default="float32",
+                        choices=["float32", "float64"],
+                        help="device state dtype")
+    parser.add_argument("--cell-capacity", type=int, default=16,
+                        help="neighbor-grid per-cell capacity")
+    parser.add_argument("--neighbor-skin", type=float, default=0.0,
+                        help="extra candidate radius enabling candidate "
+                             "reuse across steps")
+    parser.add_argument("--rebuild-every", type=int, default=1,
+                        help="candidate-list rebuild cadence in steps "
+                             "(requires a neighbor skin covering the "
+                             "displacement between rebuilds)")
+    parser.add_argument("--postprocess-only", metavar="NPZ", default=None,
+                        help="run only the postprocess stage on an existing "
+                             "handoff file")
+    args = parser.parse_args(argv)
+
+    if args.postprocess_only:
+        from .utils.postprocess import postprocess_file
+        result = postprocess_file(args.postprocess_only)
+        return 0 if result["passed"] else 1
+
+    config_path = args.config or env_override(
+        "SPH_CONFIG_OVERRIDE", os.path.join(args.base_dir, "config.ini"))
+    cfg = load_config(
+        config_path, dtype=args.dtype, cell_capacity=args.cell_capacity,
+        neighbor_skin=args.neighbor_skin, rebuild_every=args.rebuild_every)
+    paths = SimulationPaths.from_env(args.base_dir)
+    result = Simulation(cfg, paths).run()
+    print(f"throughput: {result['particle_steps_per_sec']:.3e} "
+          f"particle-steps/sec over {result['step']} steps")
+    return 0 if result["passed"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

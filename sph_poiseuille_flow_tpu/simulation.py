@@ -1,0 +1,197 @@
+"""Host-side simulation driver: the reference's L5/L4 orchestration.
+
+Wires config -> scene -> Engine, runs the outer output-interval loop
+(SPH_Poiseuille.m:246-302 — the inner dt loop lives on-device in
+``Engine.run_interval``), maintains monitors, writes signature-guarded
+restarts at every output point, and hands off to the postprocess stage.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Callable, List, Optional
+
+import numpy as np
+
+from .config import SPHConfig, env_override, load_config
+from .models.poiseuille import Scene, build_scene
+from .stepper import Engine, State, initial_state
+from .utils import checkpoint
+from .utils import postprocess as pp
+
+
+@dataclasses.dataclass
+class SimulationPaths:
+    """Output/restart paths with the reference's env-var overrides
+    (SPH_Poiseuille.m:19-26)."""
+
+    restart: str = "restart.npz"
+    result_png: str = os.path.join("results", "SPH_Poiseuille_result.png")
+    profile_evolution_png: str = os.path.join(
+        "results", "SPH_centerline_profile_evolution.png")
+    postprocess_npz: str = os.path.join(
+        "results", "SPH_Poiseuille_postprocess.npz")
+
+    @classmethod
+    def from_env(cls, base_dir: str = ".") -> "SimulationPaths":
+        return cls(
+            restart=env_override(
+                "SPH_RESTART_PATH_OVERRIDE",
+                os.path.join(base_dir, "restart.npz")),
+            result_png=env_override(
+                "SPH_RESULT_PNG_OVERRIDE",
+                os.path.join(base_dir, "results",
+                             "SPH_Poiseuille_result.png")),
+            profile_evolution_png=env_override(
+                "SPH_PROFILE_PNG_OVERRIDE",
+                os.path.join(base_dir, "results",
+                             "SPH_centerline_profile_evolution.png")),
+            postprocess_npz=env_override(
+                "SPH_POSTPROCESS_MAT_OVERRIDE",
+                os.path.join(base_dir, "results",
+                             "SPH_Poiseuille_postprocess.npz")),
+        )
+
+
+class Simulation:
+    """End-to-end run: init/restart -> interval loop -> postprocess."""
+
+    def __init__(self, cfg: SPHConfig, paths: Optional[SimulationPaths] = None,
+                 log: Callable[[str], None] = print):
+        self.cfg = cfg
+        self.paths = paths or SimulationPaths()
+        self.log = log
+        self.scene: Scene = build_scene(cfg)
+        self.engine = Engine(cfg, self.scene)
+        self.t = 0.0
+        self.step = 0
+        self.profile_times: List[float] = []
+        self.mid_profile_u: List[np.ndarray] = []
+        self.wall_time_in_loop = 0.0
+        self.total_steps_run = 0
+
+    # ---- monitors ----
+    def _sample_mid_profile(self, state: State):
+        cfg = self.cfg
+        nf = self.scene.n_fluid
+        _, u_mean = pp.mid_channel_profile(
+            np.asarray(state.x[:nf], np.float64),
+            np.asarray(state.y[:nf], np.float64),
+            np.asarray(state.vx[:nf], np.float64),
+            cfg.DL, cfg.DH, cfg.mid_x, cfg.mid_half_width, cfg.n_bins)
+        self.profile_times.append(self.t)
+        self.mid_profile_u.append(u_mean)
+
+    # ---- restart ----
+    def _try_restart(self, state: State) -> State:
+        cfg = self.cfg
+        if not cfg.restart_from_file:
+            return state
+        payload, reason = checkpoint.load_restart(
+            self.paths.restart, cfg.signature, self.scene.n_total)
+        if payload is None:
+            self.log(f"Restart unavailable ({reason}); starting clean.")
+            return state
+        import jax.numpy as jnp
+        dtype = jnp.dtype(cfg.dtype)
+        state = state._replace(**{
+            k: jnp.asarray(payload[k], dtype)
+            for k in ("x", "y", "vx", "vy", "rho", "p", "drho_dt",
+                      "fx", "fy", "fpx", "fpy")})
+        self.t = payload["t"]
+        self.step = payload["step"]
+        self.log(f"Restart: resuming from t={self.t:.6f}, step={self.step}.")
+        return state
+
+    # ---- main entry ----
+    def run(self) -> dict:
+        cfg = self.cfg
+        self.log("SPH Poiseuille Flow Simulation (TPU-native)")
+        self.log("boundary mode: thick-wall particles + in-operator "
+                 "no-slip / no-penetration")
+        self.log(f"params: DL={cfg.DL:.3f}, DH={cfg.DH:.3f}, "
+                 f"dp={cfg.dp:.4f}, h={cfg.h:.4f}")
+        self.log(f"params: rho0={cfg.rho0:.3f}, mu={cfg.mu:.3f}, "
+                 f"U_bulk={cfg.U_bulk:.6f}, c_f={cfg.c_f:.3f}")
+        self.log(f"derived: g={cfg.gravity_g:.6f}, Umax={cfg.U_max:.6f}, "
+                 f"p0={cfg.p0:.6f}, transport_coeff={cfg.transport_coeff:.3f}")
+        self.log(f"simulation: end_time={cfg.end_time:.3f}, "
+                 f"output_interval={cfg.output_interval:.3f}, "
+                 f"sort_interval={cfg.sort_interval}")
+        self.log(f"particles: fluid={self.scene.n_fluid}, "
+                 f"wall={self.scene.n_wall}, total={self.scene.n_total}")
+
+        state = initial_state(cfg, self.scene)
+        state = self._try_restart(state)
+
+        # initial neighbor + density pass (SPH_Poiseuille.m:165-173)
+        state, idx, cache, overflow = self.engine.init(state)
+        if bool(overflow):
+            raise RuntimeError(
+                "neighbor cell capacity exceeded during initialization; "
+                "increase cell_capacity")
+
+        self._sample_mid_profile(state)
+
+        eps = 1e-9
+        while self.t < cfg.end_time - eps:
+            target = min(self.t + cfg.output_interval, cfg.end_time)
+            interval = target - self.t
+            t0 = time.perf_counter()
+            res = self.engine.run_interval(state, idx, cache,
+                                           np.float32(interval))
+            n_steps = int(res.n_steps)
+            elapsed = time.perf_counter() - t0
+            self.wall_time_in_loop += elapsed
+            self.total_steps_run += n_steps
+            if bool(res.overflow):
+                raise RuntimeError(
+                    f"neighbor cell capacity exceeded during interval ending "
+                    f"t={target:.6f}; increase cell_capacity")
+            state, idx, cache = res.state, res.idx, res.cache
+            self.t = target
+            self.step += n_steps
+
+            self.log(
+                f"output point: t={self.t:.6f}, step={self.step}, "
+                f"steps_in_interval={n_steps}, dt~={interval / max(n_steps, 1):.4e}, "
+                f"pairs={int(res.n_pairs)}, vmax={float(res.v_max):.4f}, "
+                f"wall={elapsed:.2f}s")
+            self.log(
+                f"  [thick-wall-noslip] tau_bot={float(res.tau_bottom):.4f}, "
+                f"tau_top={float(res.tau_top):.4f}, "
+                f"tau_target={cfg.tau_target:.4f}")
+
+            checkpoint.save_restart(self.paths.restart, cfg.signature,
+                                    state, self.t, self.step)
+            self._sample_mid_profile(state)
+
+        # ---- postprocess handoff (SPH_Poiseuille.m:304-310) ----
+        data = pp.make_postprocess_data(
+            cfg, self.scene, state,
+            np.asarray(self.profile_times),
+            np.stack(self.mid_profile_u, axis=1),
+            self.paths.result_png, self.paths.profile_evolution_png)
+        pp.save_postprocess_npz(self.paths.postprocess_npz, data)
+        result = pp.run_postprocess(data, quiet=False)
+        self.log(f"postprocess data saved: {self.paths.postprocess_npz}")
+
+        result.update(
+            t=self.t, step=self.step,
+            wall_time_in_loop=self.wall_time_in_loop,
+            particle_steps_per_sec=(
+                self.total_steps_run * self.scene.n_fluid
+                / self.wall_time_in_loop
+                if self.wall_time_in_loop > 0 else float("nan")),
+            final_state=state,
+        )
+        return result
+
+
+def run_from_ini(config_path: str, base_dir: str = ".",
+                 log: Callable[[str], None] = print, **engine_kwargs) -> dict:
+    cfg = load_config(config_path, **engine_kwargs)
+    paths = SimulationPaths.from_env(base_dir)
+    return Simulation(cfg, paths, log=log).run()

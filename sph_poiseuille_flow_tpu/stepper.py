@@ -114,23 +114,28 @@ class Engine:
         self.run_interval = jax.jit(self._run_interval)
 
     # ---- single step (the reference's inner-loop body) ----
-    def _step(self, state: State, idx, cache, step_idx, remain):
+    def _step(self, state: State, idx, cache, step_idx, remain,
+              g=None, mu=None):
+        """One inner step. ``g``/``mu`` default to the config constants but
+        may be traced scalars (parameter sweeps vmap over them)."""
         cfg, spec = self.cfg, self.spec
+        g = cfg.gravity_g if g is None else g
+        mu = cfg.mu if mu is None else mu
+        nu = mu / cfg.rho0
         rho, vol, b11, b12, b21, b22 = density_correction(
             spec, cache, self._mass, cfg.rho0, cfg.inv_sigma0)
 
         fpx, fpy = viscous_force(
             spec, cache, state.vx, state.vy, vol, b11, b12, b21, b22,
-            self._wall_vx, self._wall_vy, cfg.mu, cfg.h)
-        fpx = fpx.at[: spec.n_fluid].add(
-            self._mass[: spec.n_fluid] * cfg.gravity_g)
+            self._wall_vx, self._wall_vy, mu, cfg.h)
+        fpx = fpx.at[: spec.n_fluid].add(self._mass[: spec.n_fluid] * g)
 
         x, y = transport_correction(
             spec, cache, state.x, state.y, vol, b11, b12, b21, b22,
             cfg.h, cfg.transport_coeff)
 
         dt = verlet_dt(state.vx[: spec.n_fluid], state.vy[: spec.n_fluid],
-                       cfg.c_f, cfg.h, cfg.nu, cfg.gravity_g, remain)
+                       cfg.c_f, cfg.h, nu, g, remain)
 
         rho, p, x, y, vx, vy, drho_dt, fx, fy = verlet_step(
             spec, cache, vol, b11, b12, b21, b22, rho, self._mass,
@@ -152,7 +157,7 @@ class Engine:
 
         tau_bottom, tau_top = wall_shear(
             spec, cache, y, vx, self._wall_vx, vol, b11, b12, b21, b22,
-            cfg.DL, cfg.DH, cfg.mu, cfg.h)
+            cfg.DL, cfg.DH, mu, cfg.h)
 
         new_state = State(x=x, y=y, vx=vx, vy=vy, rho=rho, p=p,
                           drho_dt=drho_dt, fx=fx, fy=fy, fpx=fpx, fpy=fpy,
@@ -179,7 +184,8 @@ class Engine:
         return state, idx, cache, overflow
 
     # ---- full inner loop to the next output point ----
-    def _run_interval(self, state: State, idx, cache, interval_len):
+    def _run_interval(self, state: State, idx, cache, interval_len,
+                      g=None, mu=None):
         dtype = state.x.dtype
         interval_len = jnp.asarray(interval_len, dtype)
 
@@ -192,7 +198,7 @@ class Engine:
              tau_b, tau_t) = carry
             remain = interval_len - t_local
             state, idx, cache, dt, ovf, tau_b, tau_t = self._step(
-                state, idx, cache, n_steps, remain)
+                state, idx, cache, n_steps, remain, g, mu)
             return (state, idx, cache, t_local + dt, n_steps + 1,
                     overflow | ovf, tau_b, tau_t)
 

