@@ -129,6 +129,7 @@ class SPHConfig:
     # --- TPU-native engine knobs (no reference counterpart) ---
     dtype: str = "float32"          # state dtype on device
     cell_capacity: int = 16         # max particles per neighbor-grid cell
+    neighbor_capacity: int = 48     # compacted per-particle candidate slots
     neighbor_skin: float = 0.0      # extra candidate radius (enables reuse)
     rebuild_every: int = 1          # candidate-list refresh cadence (steps)
 

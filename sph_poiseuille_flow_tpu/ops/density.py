@@ -2,7 +2,9 @@
 
 TPU-native re-expression of the reference's ``density_correction`` mode
 (sph_physics_mex.c:95-374): masked row-sums over the dense neighbor matrix
-replace the OpenMP atomic scatter loops. Every formula and guard constant is
+replace the OpenMP atomic scatter loops. The ops are pure row-math — all
+neighbor-side (``*_j``) values are supplied by the caller from packed
+gathers (see neighbors.gather_pack). Every formula and guard constant is
 reproduced:
 
 * sigma_inner starts from the self contribution W(0) (c:178-181); fluid
@@ -21,37 +23,36 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from .kernels import w0
-from .neighbors import GridSpec, NeighborCache
+from .neighbors import Candidates, Geometry, GridSpec
 
 EPS_REG = 1e-8
 
 
-def density_correction(spec: GridSpec, cache: NeighborCache, mass,
-                       rho0: float, inv_sigma0: float):
-    """Returns (rho, vol, b11, b12, b21, b22), all shape (n_total,)."""
+def density_sums(spec: GridSpec, geom: Geometry, cands: Candidates, mass,
+                 rho0: float, inv_sigma0: float):
+    """Kernel-summation density. Returns (rho, vol), both (n_total,)."""
     nf = spec.n_fluid
     n_wall = spec.n_total - nf
-    mass_f = mass[:nf]
-    mass_j = mass[cache.jsafe]
-
-    # --- density summation ---
-    sigma_inner = w0(spec.h) + jnp.sum(cache.w * cache.mask_f, axis=1)
-    sigma_contact = jnp.sum(cache.w * (mass_j / rho0) * cache.mask_w, axis=1)
+    sigma_inner = w0(spec.h) + jnp.sum(geom.w * geom.mask_f, axis=1)
+    sigma_contact = jnp.sum(geom.w * (cands.mass_j / rho0) * geom.mask_w,
+                            axis=1)
     rho_f = (sigma_inner * rho0 * inv_sigma0
-             + sigma_contact * rho0 * rho0 * inv_sigma0 / mass_f)
+             + sigma_contact * rho0 * rho0 * inv_sigma0 / mass[:nf])
     rho_f = jnp.where(rho_f <= 1e-12, rho0, rho_f)
     rho = jnp.concatenate([rho_f, jnp.full((n_wall,), rho0, rho_f.dtype)])
-    vol = mass / rho
+    return rho, mass / rho
 
-    # --- kernel-gradient correction matrix ---
-    ex = cache.dx / cache.r
-    ey = cache.dy / cache.r
-    vol_j = vol[cache.jsafe]
-    f = cache.dw * vol_j * (cache.mask_f + cache.mask_w)
-    a11 = -jnp.sum(cache.dx * f * ex, axis=1)
-    a12 = -jnp.sum(cache.dx * f * ey, axis=1)
-    a21 = -jnp.sum(cache.dy * f * ex, axis=1)
-    a22 = -jnp.sum(cache.dy * f * ey, axis=1)
+
+def kernel_gradient_correction(spec: GridSpec, geom: Geometry, vol_j):
+    """KGC matrix. ``vol_j`` is the caller-gathered neighbor volume.
+    Returns (b11, b12, b21, b22), each (n_total,) with walls = identity."""
+    n_wall = spec.n_total - spec.n_fluid
+
+    f = geom.dw * vol_j * (geom.mask_f + geom.mask_w)
+    a11 = -jnp.sum(geom.dx * f * geom.ex, axis=1)
+    a12 = -jnp.sum(geom.dx * f * geom.ey, axis=1)
+    a21 = -jnp.sum(geom.dy * f * geom.ex, axis=1)
+    a22 = -jnp.sum(geom.dy * f * geom.ey, axis=1)
 
     # regularized pseudo-inverse P = (A^T A + eps I)^-1 A^T
     ata11 = a11 * a11 + a21 * a21 + EPS_REG
@@ -77,10 +78,10 @@ def density_correction(spec: GridSpec, cache: NeighborCache, mass,
     w1 = jnp.where(small, 0.0, det_a / denom_safe)
     w2 = jnp.where(small, 1.0, det_sqr / denom_safe)
 
-    ones_w = jnp.ones((n_wall,), rho_f.dtype)
-    zeros_w = jnp.zeros((n_wall,), rho_f.dtype)
+    ones_w = jnp.ones((n_wall,), a11.dtype)
+    zeros_w = jnp.zeros((n_wall,), a11.dtype)
     b11 = jnp.concatenate([w1 * p11 + w2, ones_w])
     b12 = jnp.concatenate([w1 * p12, zeros_w])
     b21 = jnp.concatenate([w1 * p21, zeros_w])
     b22 = jnp.concatenate([w1 * p22 + w2, ones_w])
-    return rho, vol, b11, b12, b21, b22
+    return b11, b12, b21, b22

@@ -2,7 +2,8 @@
 
 TPU-native re-expression of the reference's ``integration_1st`` /
 ``integration_2nd`` / ``integration_verlet`` modes (sph_physics_mex.c:736-967,
-987-1119, 1316-1469) as pure functions composed into one ``verlet_step``:
+987-1119, 1316-1469) as pure row-math functions (neighbor-side values come
+from caller packed gathers) composed into one ``verlet_step``:
 
 stage 1 (c:857-957):
   rho += dt/2 * drho_dt_prev (floor 1e-10 -> rho0), EOS p = p0(rho/rho0 - 1),
@@ -29,11 +30,9 @@ The unified dt rule maps SPH_Poiseuille.m:519-527.
 
 from __future__ import annotations
 
-from typing import NamedTuple
-
 import jax.numpy as jnp
 
-from .neighbors import GridSpec, NeighborCache
+from .neighbors import Candidates, Geometry, GridSpec, gather_pack
 
 
 def verlet_dt(vx_f, vy_f, c_f: float, h: float, nu, gravity_g, remain):
@@ -49,82 +48,82 @@ def verlet_dt(vx_f, vy_f, c_f: float, h: float, nu, gravity_g, remain):
     return jnp.maximum(dt, 1e-12)
 
 
-class Stage1Out(NamedTuple):
-    rho_half: jnp.ndarray   # (n_total,) density after the half-kick
-    p_half: jnp.ndarray     # (n_total,) EOS pressure (walls 0)
-    x_half: jnp.ndarray
-    y_half: jnp.ndarray
-    fx: jnp.ndarray         # pressure force (walls 0)
-    fy: jnp.ndarray
-    drho_diss: jnp.ndarray  # Riemann-dissipation density rate
-
-
-def integration_first(spec: GridSpec, cache: NeighborCache, vol,
-                      b11, b12, b21, b22, rho, mass, x, y, vx, vy,
-                      drho_dt, fpx, fpy, dt, rho0: float, p0: float,
-                      c_f: float) -> Stage1Out:
+def half_kick_eos(spec: GridSpec, rho, drho_dt, dt, rho0: float, p0: float):
+    """rho += dt/2 * drho_prev (floor -> rho0), EOS; walls keep rho, p = 0
+    (sph_physics_mex.c:857-862)."""
     nf = spec.n_fluid
     n_wall = spec.n_total - nf
-    dtype = rho.dtype
-
-    # half-kick density + EOS + half-drift (fluid only)
     rho_f = rho[:nf] + 0.5 * dt * drho_dt[:nf]
     rho_f = jnp.where(rho_f < 1e-10, rho0, rho_f)
     p_f = p0 * (rho_f / rho0 - 1.0)
     rho_half = jnp.concatenate([rho_f, rho[nf:]])
-    p_half = jnp.concatenate([p_f, jnp.zeros((n_wall,), dtype)])
-    x_half = jnp.asarray(x).at[:nf].add(0.5 * dt * vx[:nf])
-    y_half = jnp.asarray(y).at[:nf].add(0.5 * dt * vy[:nf])
+    p_half = jnp.concatenate([p_f, jnp.zeros((n_wall,), p_f.dtype)])
+    return rho_half, p_half
 
-    j = cache.jsafe
-    ex = cache.dx / cache.r
-    ey = cache.dy / cache.r
-    vol_j = vol[j]
-    dwv_j = cache.dw * vol_j
+
+def half_drift(spec: GridSpec, x, y, vx, vy, dt):
+    """pos += dt/2 * v for fluid (used by both stages)."""
+    nf = spec.n_fluid
+    x = jnp.asarray(x).at[:nf].add(0.5 * dt * vx[:nf])
+    y = jnp.asarray(y).at[:nf].add(0.5 * dt * vy[:nf])
+    return x, y
+
+
+def pressure_force(spec: GridSpec, geom: Geometry, cands: Candidates,
+                   rho_half, p_half, mass, vx, vy, fpx, fpy, vol,
+                   b11, b12, b21, b22,
+                   vol_j, b11_j, b12_j, b21_j, b22_j, vx_j, vy_j,
+                   rho_half_j, p_half_j, rho0: float, c_f: float):
+    """Riemann-stabilized pressure force + dissipation density rate
+    (stage 1 pair loop, sph_physics_mex.c:867-957).
+    Returns (fx, fy, drho_diss), all (n_total,) with wall rows zero."""
+    nf = spec.n_fluid
+    n_wall = spec.n_total - nf
+    ex, ey = geom.ex, geom.ey
+    dwv_j = geom.dw * vol_j
 
     b11i = b11[:nf][:, None]
     b12i = b12[:nf][:, None]
     b21i = b21[:nf][:, None]
     b22i = b22[:nf][:, None]
-    p_i = p_f[:, None]
-    rho_i = rho_f[:, None]
+    p_i = p_half[:nf][:, None]
+    rho_i = rho_half[:nf][:, None]
     vxi = vx[:nf][:, None]
     vyi = vy[:nf][:, None]
 
     # --- fluid-fluid: low-dissipation Riemann face pressure ---
-    p_j = p_half[j]
-    rho_bar = 0.5 * (rho_i + rho_half[j])
+    rho_bar = 0.5 * (rho_i + rho_half_j)
     un_l = vxi * ex + vyi * ey
-    un_r = vx[j] * ex + vy[j] * ey
+    un_r = vx_j * ex + vy_j * ey
     compression = jnp.maximum(un_l - un_r, 0.0)
     beta = jnp.minimum(3.0 * compression, c_f)
-    p_avg = 0.5 * (p_i + p_j)
+    p_avg = 0.5 * (p_i + p_half_j)
     p_star = p_avg + 0.5 * beta * rho_bar * (un_l - un_r)
     p_face = 0.5 * (p_avg + p_star)
-    tx_f = p_face * ((b11i + b11[j]) * ex + (b12i + b12[j]) * ey)
-    ty_f = p_face * ((b21i + b21[j]) * ex + (b22i + b22[j]) * ey)
+    tx_f = p_face * ((b11i + b11_j) * ex + (b12i + b12_j) * ey)
+    ty_f = p_face * ((b21i + b21_j) * ex + (b22i + b22_j) * ey)
 
     # --- fluid-wall: virtual wall pressure (no-penetration) ---
     ax = (fpx[:nf] / mass[:nf])[:, None]
     ay = (fpy[:nf] / mass[:nf])[:, None]
     face_wall_ext_acc = -(ax * ex + ay * ey)
-    p_wall = p_i + rho_i * cache.r * jnp.maximum(0.0, face_wall_ext_acc)
+    p_wall = p_i + rho_i * geom.r * jnp.maximum(0.0, face_wall_ext_acc)
     tx_w = (p_i + p_wall) * (b11i * ex + b12i * ey)
     ty_w = (p_i + p_wall) * (b21i * ex + b22i * ey)
 
-    acc_x = -jnp.sum((tx_f * cache.mask_f + tx_w * cache.mask_w) * dwv_j,
+    acc_x = -jnp.sum((tx_f * geom.mask_f + tx_w * geom.mask_w) * dwv_j,
                      axis=1)
-    acc_y = -jnp.sum((ty_f * cache.mask_f + ty_w * cache.mask_w) * dwv_j,
+    acc_y = -jnp.sum((ty_f * geom.mask_f + ty_w * geom.mask_w) * dwv_j,
                      axis=1)
-    diss = jnp.sum(((p_i - p_j) * cache.mask_f
-                    + (p_i - p_wall) * cache.mask_w)
+    diss = jnp.sum(((p_i - p_half_j) * geom.mask_f
+                    + (p_i - p_wall) * geom.mask_w)
                    / (rho0 * c_f) * dwv_j, axis=1)
 
-    zeros_w = jnp.zeros((n_wall,), dtype)
+    zeros_w = jnp.zeros((n_wall,), acc_x.dtype)
     fx = jnp.concatenate([acc_x * vol[:nf], zeros_w])
     fy = jnp.concatenate([acc_y * vol[:nf], zeros_w])
-    drho_diss = jnp.concatenate([diss * rho_f, zeros_w])
-    return Stage1Out(rho_half, p_half, x_half, y_half, fx, fy, drho_diss)
+    drho_diss = jnp.concatenate([diss * rho_half[:nf], zeros_w])
+    return fx, fy, drho_diss
 
 
 def kick(spec: GridSpec, vx, vy, fpx, fpy, fx, fy, mass, dt):
@@ -140,33 +139,28 @@ def kick(spec: GridSpec, vx, vy, fpx, fpy, fx, fy, mass, dt):
             jnp.concatenate([vy_f, zeros_w]))
 
 
-def integration_second(spec: GridSpec, cache: NeighborCache, vol, rho_half,
-                       x, y, vx, vy, wall_vx, wall_vy, dt):
-    """Second half-drift + continuity density rate. Returns (x, y, drho_new).
+def continuity_rate(spec: GridSpec, geom: Geometry, cands: Candidates,
+                    rho_half, vx, vy, vol_j, vx_j, vy_j):
+    """Continuity density rate from velocity divergence with mirrored
+    no-slip wall velocity (stage 2 pair loop, sph_physics_mex.c:1073-1116).
     ``rho_half`` is stage 1's density (the reference feeds int1's rho output
-    into int2, sph_physics_mex.c:1420)."""
+    into int2, sph_physics_mex.c:1420). Velocities are post-kick."""
     nf = spec.n_fluid
     n_wall = spec.n_total - nf
-    x = jnp.asarray(x).at[:nf].add(0.5 * dt * vx[:nf])
-    y = jnp.asarray(y).at[:nf].add(0.5 * dt * vy[:nf])
-
-    j = cache.jsafe
-    ex = cache.dx / cache.r
-    ey = cache.dy / cache.r
-    dwv_j = cache.dw * vol[j]
+    ex, ey = geom.ex, geom.ey
+    dwv_j = geom.dw * vol_j
     vxi = vx[:nf][:, None]
     vyi = vy[:nf][:, None]
 
-    u_jump_f = (vxi - vx[j]) * ex + (vyi - vy[j]) * ey
+    u_jump_f = (vxi - vx_j) * ex + (vyi - vy_j) * ey
     # mirrored no-slip wall velocity: v_mirror = 2*wall_vel - v_i, so the
     # jump doubles the fluid-relative velocity (sph_physics_mex.c:1100-1108)
-    u_jump_w = 2.0 * ((vxi - wall_vx[j]) * ex + (vyi - wall_vy[j]) * ey)
+    u_jump_w = 2.0 * ((vxi - cands.wvx_j) * ex + (vyi - cands.wvy_j) * ey)
 
-    rate = jnp.sum((u_jump_f * cache.mask_f + u_jump_w * cache.mask_w)
+    rate = jnp.sum((u_jump_f * geom.mask_f + u_jump_w * geom.mask_w)
                    * dwv_j, axis=1)
-    drho_new = jnp.concatenate([rate * rho_half[:nf],
-                                jnp.zeros((n_wall,), rate.dtype)])
-    return x, y, drho_new
+    return jnp.concatenate([rate * rho_half[:nf],
+                            jnp.zeros((n_wall,), rate.dtype)])
 
 
 def finalize_density(spec: GridSpec, rho_half, drho_new, dt,
@@ -182,24 +176,33 @@ def finalize_density(spec: GridSpec, rho_half, drho_new, dt,
     return rho, p
 
 
-def verlet_step(spec: GridSpec, cache: NeighborCache, vol,
+def verlet_step(spec: GridSpec, geom: Geometry, cands: Candidates, vol,
                 b11, b12, b21, b22, rho, mass, x, y, vx, vy,
-                drho_dt, fpx, fpy, wall_vx, wall_vy, dt,
-                rho0: float, p0: float, c_f: float):
-    """Composite single-step Verlet advance (sph_physics_mex.c:1316-1469).
-
-    Returns (rho, p, x, y, vx, vy, drho_dt, fx, fy).
+                drho_dt, fpx, fpy, dt, rho0: float, p0: float, c_f: float):
+    """Composite single-step Verlet advance (sph_physics_mex.c:1316-1469),
+    performing its own packed gathers. Returns
+    (rho, p, x, y, vx, vy, drho_dt, fx, fy). The Engine inlines the same
+    sequence to share gathers with the other operators.
     """
-    s1 = integration_first(spec, cache, vol, b11, b12, b21, b22, rho, mass,
-                           x, y, vx, vy, drho_dt, fpx, fpy, dt,
-                           rho0, p0, c_f)
-    vx2, vy2 = kick(spec, vx, vy, fpx, fpy, s1.fx, s1.fy, mass, dt)
-    x2, y2, drho_new = integration_second(
-        spec, cache, vol, s1.rho_half, s1.x_half, s1.y_half, vx2, vy2,
-        wall_vx, wall_vy, dt)
-    rho_new, p_new = finalize_density(spec, s1.rho_half, drho_new, dt,
+    rho_half, p_half = half_kick_eos(spec, rho, drho_dt, dt, rho0, p0)
+    x_half, y_half = half_drift(spec, x, y, vx, vy, dt)
+
+    (vol_j, b11_j, b12_j, b21_j, b22_j, vx_j, vy_j, rho_half_j,
+     p_half_j) = gather_pack(cands.jsafe, (vol, b11, b12, b21, b22, vx, vy,
+                                           rho_half, p_half))
+    fx, fy, drho_diss = pressure_force(
+        spec, geom, cands, rho_half, p_half, mass, vx, vy, fpx, fpy, vol,
+        b11, b12, b21, b22, vol_j, b11_j, b12_j, b21_j, b22_j, vx_j, vy_j,
+        rho_half_j, p_half_j, rho0, c_f)
+
+    vx2, vy2 = kick(spec, vx, vy, fpx, fpy, fx, fy, mass, dt)
+    x2, y2 = half_drift(spec, x_half, y_half, vx2, vy2, dt)
+    vx2_j, vy2_j = gather_pack(cands.jsafe, (vx2, vy2))
+    drho_new = continuity_rate(spec, geom, cands, rho_half, vx2, vy2,
+                               vol_j, vx2_j, vy2_j)
+    rho_new, p_new = finalize_density(spec, rho_half, drho_new, dt,
                                       rho0, p0)
-    return rho_new, p_new, x2, y2, vx2, vy2, drho_new, s1.fx, s1.fy
+    return rho_new, p_new, x2, y2, vx2, vy2, drho_new, fx, fy
 
 
 def periodic_wrap(spec: GridSpec, x):

@@ -3,7 +3,9 @@
 * ``wall_shear``: TPU-native re-expression of the reference's read-only
   ``wall_shear_monitor`` mode (sph_physics_mex.c:1653-1743) — sums the
   viscous x-force of fluid-wall pairs (same formula as the viscous operator
-  including the 4.0 one-sided factor), split by wall side, tau = -sum/DL.
+  including the 4.0 one-sided factor), split by wall side via the
+  rebuild-static wall masks, tau = -sum/DL. Uses the Geometry's own
+  gathered vol_j — no extra gather.
 * ``mid_channel_profile``: device-side equivalent of
   SPH_Poiseuille.m:579-605 — mean u_x binned by y over a periodic slice
   around x = DL/2.
@@ -14,25 +16,22 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .neighbors import GridSpec, NeighborCache
+from .neighbors import Candidates, Geometry, GridSpec
 
 
-def wall_shear(spec: GridSpec, cache: NeighborCache, y, vx, wall_vx, vol,
-               b11, b12, b21, b22, DL: float, DH: float,
-               mu: float, h: float):
+def wall_shear(spec: GridSpec, geom: Geometry, cands: Candidates,
+               vx, vol, b11, b12, b21, b22, DL: float,
+               mu, h: float):
     """Returns (tau_bottom, tau_top) scalars."""
     nf = spec.n_fluid
-    j = cache.jsafe
-    ex = cache.dx / cache.r
-    ey = cache.dy / cache.r
+    ex, ey = geom.ex, geom.ey
     ebe = (ex * (b11[:nf][:, None] * ex + b12[:nf][:, None] * ey)
            + ey * (b21[:nf][:, None] * ex + b22[:nf][:, None] * ey))
-    dv_x = vx[:nf][:, None] - wall_vx[j]
-    f_pair = (4.0 * mu * ebe * cache.dw * vol[j] * dv_x
-              / (cache.r + 0.01 * h) * vol[:nf][:, None]) * cache.mask_w
-    y_j = y[j]
-    tau_bottom = -jnp.sum(f_pair * (y_j <= 0.0)) / DL
-    tau_top = -jnp.sum(f_pair * (y_j >= DH)) / DL
+    dv_x = vx[:nf][:, None] - cands.wvx_j
+    f_pair = (4.0 * mu * ebe * geom.dw * geom.vol_j * dv_x
+              / (geom.r + 0.01 * h) * vol[:nf][:, None]) * geom.mask_w
+    tau_bottom = -jnp.sum(f_pair * cands.wall_bot) / DL
+    tau_top = -jnp.sum(f_pair * cands.wall_top) / DL
     return tau_bottom, tau_top
 
 

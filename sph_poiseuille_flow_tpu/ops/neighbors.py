@@ -2,39 +2,44 @@
 
 Re-designs the reference's cell-linked-list search with ghost entries
 (sph_neighbor_search_mex.c:185-421) as a static-shape, fully vectorized
-pipeline that XLA can compile once:
+pipeline shaped around one hard TPU constraint: **general gathers are slow**
+(XLA lowers them to serialized scalar loads, ~1 ms per (n_fluid, C) index
+matrix on a v5e). The design therefore:
 
-* Particles are binned into an ``nx x ny`` grid. Cell width along x is
-  ``DL/nx >= cutoff`` with ``nx = floor(DL/cutoff)`` — slightly wider cells
-  than the reference's exact ``2h`` so that a 3x3 walk with wrapped columns
-  provably covers the periodic seam WITHOUT the reference's ghost-entry
-  mechanism (minimum-image displacement gives identical pair geometry; the
-  ghost machinery in the reference exists only to make its 3x3 walk find
-  seam neighbors, cf. sph_neighbor_search_mex.c:267-295).
-* A ``(n_cells, K)`` occupancy table is built via stable sort by cell id +
-  rank-in-cell scatter. K is a compile-time capacity; overflow is detected
-  and surfaced as a flag (the reference grows buffers with mxRealloc,
-  sph_neighbor_search_mex.c:149-171 — impossible under jit).
-* Each FLUID particle gathers all candidates from its 3x3 cell neighborhood
-  into a dense ``(n_fluid, C)`` candidate matrix (C = 9K). Every pair appears
-  once per direction; the physics operators do masked row-sums, which is
-  mathematically identical to the reference's store-once + symmetric
-  scatter-add convention (and deterministic, unlike OpenMP atomics).
-* Geometry (min-image dx, r, W, dW, validity masks) is recomputed from
-  current positions every step; the candidate index table may be reused
-  across steps when a skin radius is configured (candidate cutoff
-  ``2h + skin`` with per-step exact ``r < 2h`` masking keeps results
-  identical as long as no particle moves more than skin/2 between rebuilds).
+* bins all particles into an ``nx x ny`` grid (x-cell width ``DL/nx >=
+  candidate cutoff`` with ``nx = floor(DL/cutoff)`` so a 3x3 wrapped-column
+  walk provably covers the periodic seam WITHOUT the reference's
+  ghost-entry machinery — minimum-image displacements give identical pair
+  geometry),
+* builds a ``(n_cells, K)`` occupancy table via stable sort + rank-in-cell
+  scatter (the reference grows buffers with mxRealloc,
+  sph_neighbor_search_mex.c:149-171 — impossible under jit; overflow is
+  detected and surfaced as a flag),
+* gathers the raw 3x3 candidates (9K wide) ONCE per rebuild, then
+  **compacts** each row to the leading ``C`` (= cfg.neighbor_capacity)
+  entries within the candidate cutoff ``2h + skin`` — per-step work shrinks
+  ~3x,
+* gathers all rebuild-static per-neighbor data (mass_j, wall velocity,
+  wall-side masks) in ONE packed gather at rebuild,
+* per step, recomputes exact geometry (min-image dx, r, W, dW, masks at the
+  TRUE cutoff 2h) from ONE packed [x, y, ...] gather. With a nonzero skin
+  the candidate set remains a superset of the true pair set while no
+  particle has moved more than skin/2 since the rebuild (guarded at
+  runtime), so results are exactly the per-step-rebuild pair set — the
+  reference's every-step rebuild semantics — up to f32 summation order.
 
-Walls never accumulate anything in any operator (reference zeroes all wall
-outputs), so candidate rows are only materialized for fluid particles.
+Every pair appears once per direction in the dense rows; the physics
+operators do masked row-sums, mathematically identical to the reference's
+store-once + symmetric scatter-add (and deterministic, unlike OpenMP
+atomics). Walls never accumulate anything in any operator, so rows exist
+only for fluid particles.
 """
 
 from __future__ import annotations
 
 import dataclasses
 import math
-from typing import NamedTuple
+from typing import NamedTuple, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -49,15 +54,18 @@ class GridSpec:
     n_fluid: int
     n_total: int
     DL: float
+    DH: float
     h: float
     cutoff: float        # interaction cutoff = 2h
     cand_cutoff: float   # candidate retention cutoff = 2h + skin
+    skin: float
     nx: int
     ny: int
     cell_x: float        # x cell width = DL/nx >= cand_cutoff
     cell_y: float
     y0: float            # grid origin in y
     K: int               # per-cell capacity
+    C: int               # compacted per-particle candidate capacity
 
     @property
     def n_cells(self) -> int:
@@ -75,7 +83,7 @@ class GridSpec:
         return (0,)
 
     @property
-    def n_candidates(self) -> int:
+    def n_raw_candidates(self) -> int:
         return len(self.x_offsets) * 3 * self.K
 
 
@@ -93,24 +101,56 @@ def make_grid_spec(cfg, scene, wall_margin: float = 0.0) -> GridSpec:
     ny = int(math.ceil((y_hi - y_lo) / cell_y)) + 2
     y0 = y_lo - cell_y
     return GridSpec(
-        n_fluid=scene.n_fluid, n_total=scene.n_total, DL=cfg.DL, h=cfg.h,
-        cutoff=cutoff, cand_cutoff=cand_cutoff, nx=nx, ny=ny,
-        cell_x=cell_x, cell_y=cell_y, y0=y0, K=cfg.cell_capacity,
+        n_fluid=scene.n_fluid, n_total=scene.n_total, DL=cfg.DL, DH=cfg.DH,
+        h=cfg.h, cutoff=cutoff, cand_cutoff=cand_cutoff,
+        skin=cfg.neighbor_skin, nx=nx, ny=ny, cell_x=cell_x, cell_y=cell_y,
+        y0=y0, K=cfg.cell_capacity, C=cfg.neighbor_capacity,
     )
 
 
-class NeighborCache(NamedTuple):
-    """Dense per-fluid-particle neighbor data (the reference's pair cache,
-    SPH_Poiseuille.m:221-228, in matrix form). All arrays (n_fluid, C)."""
+class Candidates(NamedTuple):
+    """Compacted candidate set + rebuild-static per-neighbor data.
+    All (n_fluid, C) unless noted. Valid while no particle has moved more
+    than skin/2 since the rebuild."""
 
-    jsafe: jnp.ndarray    # int32 neighbor index, clipped to [0, n_total-1]
-    dx: jnp.ndarray       # x_i - x_j with minimum-image correction
+    jsafe: jnp.ndarray      # int32 neighbor index, clipped to n_total-1
+    cvalid: jnp.ndarray     # f32 1.0 for real candidates
+    is_fluid_j: jnp.ndarray  # f32 1.0 where neighbor is a fluid particle
+    mass_j: jnp.ndarray
+    wvx_j: jnp.ndarray      # prescribed wall velocity of neighbor
+    wvy_j: jnp.ndarray
+    wall_bot: jnp.ndarray   # f32 1.0 for bottom-wall neighbors (y_j <= 0)
+    wall_top: jnp.ndarray   # f32 1.0 for top-wall neighbors (y_j >= DH)
+    ref_x: jnp.ndarray      # (n_total,) positions at rebuild (skin guard)
+    ref_y: jnp.ndarray
+    overflow: jnp.ndarray   # bool: cell or compaction capacity exceeded
+
+
+class Geometry(NamedTuple):
+    """Per-step pair geometry over the candidate set, masked to the exact
+    interaction cutoff r < 2h. All (n_fluid, C)."""
+
+    dx: jnp.ndarray
     dy: jnp.ndarray
-    r: jnp.ndarray        # distance (1.0 where invalid, for safe division)
-    w: jnp.ndarray        # cubic-spline W (0 where invalid)
-    dw: jnp.ndarray       # dW/dr (0 where invalid)
-    mask_f: jnp.ndarray   # 1.0 for valid fluid-fluid entries
-    mask_w: jnp.ndarray   # 1.0 for valid fluid-wall entries
+    r: jnp.ndarray        # 1.0 where invalid (safe division)
+    ex: jnp.ndarray       # dx/r
+    ey: jnp.ndarray
+    w: jnp.ndarray        # 0 where invalid
+    dw: jnp.ndarray       # 0 where invalid
+    mask_f: jnp.ndarray   # 1.0 valid fluid-fluid
+    mask_w: jnp.ndarray   # 1.0 valid fluid-wall
+    x_j: jnp.ndarray      # gathered neighbor positions (reused by callers)
+    y_j: jnp.ndarray
+    vol_j: jnp.ndarray    # gathered neighbor volume (for the shear monitor)
+
+
+def gather_pack(jsafe, arrays: Sequence[jnp.ndarray]):
+    """ONE packed gather of several (n_total,) arrays at (n_fluid, C)
+    indices. On TPU an F-field packed gather costs the same as a single
+    scalar gather — this is the central perf primitive of the engine."""
+    pack = jnp.stack(arrays, axis=-1)          # (n_total, F)
+    g = pack[jsafe]                            # (n_fluid, C, F)
+    return tuple(g[..., k] for k in range(len(arrays)))
 
 
 def _cell_coords(spec: GridSpec, x, y):
@@ -121,13 +161,9 @@ def _cell_coords(spec: GridSpec, x, y):
     return cx, cy
 
 
-def build_candidates(spec: GridSpec, x, y):
-    """Bin all particles and gather per-fluid-particle candidate indices.
-
-    Returns (idx, overflow): ``idx`` is (n_fluid, C) int32 with sentinel
-    ``n_total`` for empty slots; ``overflow`` is a scalar bool set when any
-    cell held more than K particles (dropped entries -> result invalid).
-    """
+def _raw_candidates(spec: GridSpec, x, y):
+    """Bin all particles; gather the 3x3-cell raw candidate indices.
+    Returns (idx_raw (n_fluid, 9K) with sentinel n_total, cell_overflow)."""
     n = spec.n_total
     cx, cy = _cell_coords(spec, x, y)
     cid = cy * spec.nx + cx
@@ -138,14 +174,14 @@ def build_candidates(spec: GridSpec, x, y):
         jnp.ones((n,), jnp.int32), cid, num_segments=spec.n_cells)
     starts = jnp.cumsum(counts) - counts
     rank = jnp.arange(n, dtype=jnp.int32) - starts[cid_sorted]
-    overflow = jnp.max(counts) > spec.K
+    cell_overflow = jnp.max(counts) > spec.K
 
     slot = jnp.where(rank < spec.K, cid_sorted * spec.K + rank,
                      spec.n_cells * spec.K)
     table = jnp.full((spec.n_cells * spec.K,), n, dtype=jnp.int32)
-    table = table.at[slot].set(order, mode="drop").reshape(spec.n_cells, spec.K)
+    table = table.at[slot].set(order, mode="drop").reshape(spec.n_cells,
+                                                           spec.K)
 
-    # 3x3 (or deduplicated) neighborhood walk for fluid particles.
     cxf = cx[: spec.n_fluid]
     cyf = cy[: spec.n_fluid]
     blocks = []
@@ -157,54 +193,100 @@ def build_candidates(spec: GridSpec, x, y):
             cxn = jnp.mod(cxf + ox, spec.nx)
             cells = cyn_c * spec.nx + cxn
             cand = table[cells]                       # (n_fluid, K)
-            cand = jnp.where(y_ok[:, None], cand, n)  # mask invalid y rows
+            cand = jnp.where(y_ok[:, None], cand, n)
             blocks.append(cand)
-    idx = jnp.concatenate(blocks, axis=1)             # (n_fluid, C)
-    return idx, overflow
+    return jnp.concatenate(blocks, axis=1), cell_overflow
 
 
-def compute_geometry(spec: GridSpec, idx, x, y) -> NeighborCache:
-    """Evaluate min-image displacements + kernel for the candidate set,
-    masking to the exact interaction cutoff r < 2h (the candidate set may
-    be a superset when a skin is configured)."""
+def build_candidates(spec: GridSpec, x, y, mass, wall_vx, wall_vy
+                     ) -> Candidates:
+    """Full candidate rebuild: raw 3x3 gather -> cutoff filter ->
+    compaction to C entries -> packed static gather."""
     n = spec.n_total
-    valid0 = idx < n
-    jsafe = jnp.minimum(idx, n - 1)
+    idx_raw, cell_overflow = _raw_candidates(spec, x, y)
+    jraw = jnp.minimum(idx_raw, n - 1)
 
     xi = x[: spec.n_fluid][:, None]
     yi = y[: spec.n_fluid][:, None]
-    dx = xi - x[jsafe]
-    dy = yi - y[jsafe]
-    # minimum-image along the x-periodic axis (sph_neighbor_search_mex.c:359-363)
+    xj, yj = gather_pack(jraw, (x, y))
+    dx = xi - xj
     dx = dx - spec.DL * jnp.round(dx / spec.DL)
-
+    dy = yi - yj
     r2 = dx * dx + dy * dy
     self_row = jnp.arange(spec.n_fluid, dtype=jnp.int32)[:, None]
-    valid = (valid0 & (jsafe != self_row)
-             & (r2 < spec.cutoff * spec.cutoff) & (r2 > 1e-24))
+    valid = ((idx_raw < n) & (jraw != self_row)
+             & (r2 < spec.cand_cutoff * spec.cand_cutoff) & (r2 > 1e-24))
+
+    # compaction: stable-sort valid entries to the front, keep C columns
+    n_valid = jnp.sum(valid, axis=1)
+    compaction_overflow = jnp.max(n_valid) > spec.C
+    perm = jnp.argsort(~valid, axis=1, stable=True)[:, : spec.C]
+    idx_c = jnp.take_along_axis(idx_raw, perm, axis=1)
+    cvalid_b = jnp.take_along_axis(valid, perm, axis=1)
+    jsafe = jnp.minimum(idx_c, n - 1)
+
+    mass_j, wvx_j, wvy_j, yj_c = gather_pack(jsafe,
+                                             (mass, wall_vx, wall_vy, y))
+    fdtype = x.dtype
+    cvalid = cvalid_b.astype(fdtype)
+    is_wall_j = cvalid * (jsafe >= spec.n_fluid)
+    return Candidates(
+        jsafe=jsafe, cvalid=cvalid,
+        is_fluid_j=cvalid * (jsafe < spec.n_fluid),
+        mass_j=mass_j, wvx_j=wvx_j, wvy_j=wvy_j,
+        wall_bot=is_wall_j * (yj_c <= 0.0),
+        wall_top=is_wall_j * (yj_c >= spec.DH),
+        ref_x=x, ref_y=y,
+        overflow=cell_overflow | compaction_overflow,
+    )
+
+
+def compute_geometry(spec: GridSpec, cands: Candidates, x, y, vol
+                     ) -> Geometry:
+    """Per-step geometry over the compacted candidates, masked to the exact
+    cutoff r < 2h. One packed gather ([x, y, vol])."""
+    xj, yj, vol_j = gather_pack(cands.jsafe, (x, y, vol))
+    xi = x[: spec.n_fluid][:, None]
+    yi = y[: spec.n_fluid][:, None]
+    dx = xi - xj
+    # minimum-image along the x-periodic axis (sph_neighbor_search_mex.c:359-363)
+    dx = dx - spec.DL * jnp.round(dx / spec.DL)
+    dy = yi - yj
+    r2 = dx * dx + dy * dy
+    valid = (cands.cvalid > 0) & (r2 < spec.cutoff * spec.cutoff) \
+        & (r2 > 1e-24)
 
     r = jnp.sqrt(jnp.where(valid, r2, 1.0))
     w, dw = cubic_spline(r, spec.h)
     fvalid = valid.astype(x.dtype)
     w = w * fvalid
     dw = dw * fvalid
-    mask_f = fvalid * (jsafe < spec.n_fluid)
-    mask_w = fvalid * (jsafe >= spec.n_fluid)
-
-    return NeighborCache(jsafe=jsafe, dx=dx * fvalid, dy=dy * fvalid, r=r,
-                         w=w, dw=dw, mask_f=mask_f, mask_w=mask_w)
-
-
-def build_cache(spec: GridSpec, x, y):
-    """Full rebuild: candidates + geometry. Returns (idx, cache, overflow)."""
-    idx, overflow = build_candidates(spec, x, y)
-    cache = compute_geometry(spec, idx, x, y)
-    return idx, cache, overflow
+    inv_r = 1.0 / r
+    return Geometry(
+        dx=dx * fvalid, dy=dy * fvalid, r=r,
+        ex=dx * inv_r * fvalid, ey=dy * inv_r * fvalid,
+        w=w, dw=dw,
+        mask_f=fvalid * cands.is_fluid_j,
+        mask_w=fvalid * (1.0 - cands.is_fluid_j) * cands.cvalid,
+        x_j=xj, y_j=yj, vol_j=vol_j,
+    )
 
 
-def count_pairs(spec: GridSpec, cache: NeighborCache):
+def displacement_exceeded(spec: GridSpec, cands: Candidates, x, y):
+    """Skin guard: True when some particle moved more than skin/2 since the
+    candidate rebuild (candidate set may have lost a true pair)."""
+    if spec.skin <= 0.0:
+        return jnp.asarray(False)
+    ddx = x - cands.ref_x
+    ddx = ddx - spec.DL * jnp.round(ddx / spec.DL)
+    ddy = y - cands.ref_y
+    d2 = ddx * ddx + ddy * ddy
+    return jnp.max(d2) > (0.5 * spec.skin) ** 2
+
+
+def count_pairs(geom: Geometry):
     """Reference-convention pair count (fluid-fluid stored once + all
     fluid-wall pairs), for log parity with SPH_Poiseuille.m:287-288."""
-    n_ff_directed = jnp.sum(cache.mask_f)
-    n_fw = jnp.sum(cache.mask_w)
+    n_ff_directed = jnp.sum(geom.mask_f)
+    n_fw = jnp.sum(geom.mask_w)
     return (n_ff_directed / 2 + n_fw).astype(jnp.int32)

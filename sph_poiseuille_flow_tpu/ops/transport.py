@@ -1,7 +1,8 @@
 """Transport-velocity correction (particle shifting).
 
 TPU-native re-expression of the reference's ``transport_correction`` mode
-(sph_physics_mex.c:569-714):
+(sph_physics_mex.c:569-714). Pure row-math over caller-gathered neighbor
+values.
 
 * fluid-fluid: inc_i += -dW * Vol_j * (B_i+B_j)e (c:656-685; the j-side
   accumulation in the reference equals this row's own term under e -> -e).
@@ -16,31 +17,29 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .neighbors import GridSpec, NeighborCache
+from .neighbors import Geometry, GridSpec
 
 
-def transport_correction(spec: GridSpec, cache: NeighborCache, x, y, vol,
-                         b11, b12, b21, b22, h: float,
-                         transport_coeff: float):
+def transport_correction(spec: GridSpec, geom: Geometry, x, y,
+                         b11, b12, b21, b22,
+                         vol_j, b11_j, b12_j, b21_j, b22_j,
+                         h: float, transport_coeff: float):
     """Returns (x, y) with shifted fluid positions; walls unchanged."""
     nf = spec.n_fluid
-    j = cache.jsafe
-    ex = cache.dx / cache.r
-    ey = cache.dy / cache.r
-    vol_j = vol[j]
+    ex, ey = geom.ex, geom.ey
 
     b11i = b11[:nf][:, None]
     b12i = b12[:nf][:, None]
     b21i = b21[:nf][:, None]
     b22i = b22[:nf][:, None]
 
-    tx_f = (b11i + b11[j]) * ex + (b12i + b12[j]) * ey
-    ty_f = (b21i + b21[j]) * ex + (b22i + b22[j]) * ey
-    coeff_f = -cache.dw * vol_j * cache.mask_f
+    tx_f = (b11i + b11_j) * ex + (b12i + b12_j) * ey
+    ty_f = (b21i + b21_j) * ex + (b22i + b22_j) * ey
+    coeff_f = -geom.dw * vol_j * geom.mask_f
 
     tx_w = b11i * ex + b12i * ey
     ty_w = b21i * ex + b22i * ey
-    coeff_w = -2.0 * cache.dw * vol_j * cache.mask_w
+    coeff_w = -2.0 * geom.dw * vol_j * geom.mask_w
 
     inc_x = jnp.sum(coeff_f * tx_f + coeff_w * tx_w, axis=1)
     inc_y = jnp.sum(coeff_f * ty_f + coeff_w * ty_w, axis=1)

@@ -74,18 +74,24 @@ class ShardedEngine:
         self._repl, self._rows = repl, rows
 
         state_shardings = State(*([repl] * len(State._fields)))
-        from ..ops.neighbors import NeighborCache
-        cache_sh = NeighborCache(*([rows] * len(NeighborCache._fields)))
+        from ..ops.neighbors import Candidates, Geometry
+        # candidate/geometry rows are partitioned; the rebuild reference
+        # positions and the overflow flag are replicated
+        cands_sh = Candidates(
+            jsafe=rows, cvalid=rows, is_fluid_j=rows, mass_j=rows,
+            wvx_j=rows, wvy_j=rows, wall_bot=rows, wall_top=rows,
+            ref_x=repl, ref_y=repl, overflow=repl)
+        geom_sh = Geometry(*([rows] * len(Geometry._fields)))
 
         self._init = jax.jit(
             self.engine._init,
             in_shardings=(state_shardings,),
-            out_shardings=(state_shardings, rows, cache_sh, repl))
+            out_shardings=(state_shardings, cands_sh, geom_sh, repl))
         self._run = jax.jit(
             self.engine._run_interval,
-            in_shardings=(state_shardings, rows, cache_sh, repl),
+            in_shardings=(state_shardings, cands_sh, geom_sh, repl),
             out_shardings=IntervalResult(
-                state=state_shardings, idx=rows, cache=cache_sh,
+                state=state_shardings, cands=cands_sh, geom=geom_sh,
                 tau_bottom=repl, tau_top=repl, n_steps=repl, overflow=repl,
                 v_max=repl, n_pairs=repl))
 
@@ -93,8 +99,8 @@ class ShardedEngine:
         with self.mesh:
             return self._init(state)
 
-    def run_interval(self, state: State, idx, cache, interval_len):
+    def run_interval(self, state: State, cands, geom, interval_len):
         with self.mesh:
-            return self._run(state, idx, cache,
+            return self._run(state, cands, geom,
                              jnp.asarray(interval_len, jnp.dtype(
                                  self.cfg.dtype)))

@@ -44,14 +44,14 @@ def run_sweep(cfg: SPHConfig, gs, mus, log=print) -> dict:
     scene = build_scene(cfg)
     engine = Engine(cfg, scene)
     state0 = initial_state(cfg, scene)
-    state0, idx0, cache0, overflow = engine.init(state0)
+    state0, cands0, geom0, overflow = engine.init(state0)
     if bool(overflow):
         raise RuntimeError("neighbor cell capacity exceeded at init")
 
     bcast = lambda a: jnp.broadcast_to(a, (n_work,) + a.shape)
     states = jax.tree.map(bcast, state0)
-    idx = bcast(idx0)
-    cache = jax.tree.map(bcast, cache0)
+    cands = jax.tree.map(bcast, cands0)
+    geom = jax.tree.map(bcast, geom0)
     dtype = jnp.dtype(cfg.dtype)
     g_arr = jnp.asarray(gs, dtype)
     mu_arr = jnp.asarray(mus, dtype)
@@ -67,12 +67,12 @@ def run_sweep(cfg: SPHConfig, gs, mus, log=print) -> dict:
     while t < cfg.end_time - eps:
         target = min(t + cfg.output_interval, cfg.end_time)
         t0 = time.perf_counter()
-        res = run(states, idx, cache, np.float32(target - t), g_arr, mu_arr)
+        res = run(states, cands, geom, np.float32(target - t), g_arr, mu_arr)
         jax.block_until_ready(res.state.x)
         wall += time.perf_counter() - t0
         if bool(jnp.any(res.overflow)):
             raise RuntimeError("neighbor cell capacity exceeded in sweep")
-        states, idx, cache = res.state, res.idx, res.cache
+        states, cands, geom = res.state, res.cands, res.geom
         steps = int(jnp.sum(res.n_steps))
         total_steps += steps
         t = target

@@ -127,7 +127,7 @@ class Simulation:
         state = self._try_restart(state)
 
         # initial neighbor + density pass (SPH_Poiseuille.m:165-173)
-        state, idx, cache, overflow = self.engine.init(state)
+        state, cands, geom, overflow = self.engine.init(state)
         if bool(overflow):
             raise RuntimeError(
                 "neighbor cell capacity exceeded during initialization; "
@@ -140,7 +140,7 @@ class Simulation:
             target = min(self.t + cfg.output_interval, cfg.end_time)
             interval = target - self.t
             t0 = time.perf_counter()
-            res = self.engine.run_interval(state, idx, cache,
+            res = self.engine.run_interval(state, cands, geom,
                                            np.float32(interval))
             n_steps = int(res.n_steps)
             elapsed = time.perf_counter() - t0
@@ -150,7 +150,7 @@ class Simulation:
                 raise RuntimeError(
                     f"neighbor cell capacity exceeded during interval ending "
                     f"t={target:.6f}; increase cell_capacity")
-            state, idx, cache = res.state, res.idx, res.cache
+            state, cands, geom = res.state, res.cands, res.geom
             self.t = target
             self.step += n_steps
 

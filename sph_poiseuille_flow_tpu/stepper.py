@@ -12,17 +12,27 @@ the reference exactly, including its quirks:
 i.e. shifting moves positions but the pair cache is only rebuilt AFTER
 integration, so the verlet step integrates on slightly stale pair geometry
 (SPH_Poiseuille.m:257, :280 — reproduced deliberately), and drho_dt is
-carried across steps into the next step's half-kick.
+carried across steps into the next step's half-kick. (Two computations are
+hoisted without changing any value: dt depends only on pre-step velocities,
+and the stage-1 density half-kick/EOS depends only on the density pass +
+carried drho_dt.)
+
+TPU performance shape: every physics operator is pure row-math over the
+compacted dense neighbor matrix; ALL neighbor-side values flow through
+exactly four packed gathers per step (gathers are the dominant cost on
+TPU — see ops/neighbors.py):
+
+  A [vol]  ->  B [B(4), v(2), rho_half, p_half]  ->  C [v_new(2)]
+  ->  D [x, y, vol] (the next step's geometry)
 
 The reference's cache-locality sort (SPH_Poiseuille.m:529-568) is
-unnecessary on TPU (data layout is fixed; the neighbor engine re-bins every
+unnecessary on TPU (fixed data layout; the neighbor engine re-bins at every
 rebuild) and is intentionally dropped; ``sort_interval`` remains accepted in
 the config for compatibility.
 """
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax
@@ -32,11 +42,14 @@ import numpy as np
 from .config import SPHConfig
 from .models.poiseuille import Scene
 from .ops import neighbors as nbr
-from .ops.density import density_correction
+from .ops.density import density_sums, kernel_gradient_correction
 from .ops.viscosity import viscous_force
 from .ops.transport import transport_correction
-from .ops.integration import (verlet_dt, verlet_step, periodic_wrap)
+from .ops.integration import (continuity_rate, finalize_density, half_drift,
+                              half_kick_eos, kick, periodic_wrap,
+                              pressure_force, verlet_dt)
 from .ops.monitors import wall_shear
+from .ops.neighbors import gather_pack
 
 
 class State(NamedTuple):
@@ -64,12 +77,12 @@ class State(NamedTuple):
 
 class IntervalResult(NamedTuple):
     state: State
-    idx: jnp.ndarray            # candidate table (carried across intervals)
-    cache: nbr.NeighborCache
+    cands: nbr.Candidates
+    geom: nbr.Geometry
     tau_bottom: jnp.ndarray
     tau_top: jnp.ndarray
     n_steps: jnp.ndarray        # i32 steps executed this interval
-    overflow: jnp.ndarray       # bool: any neighbor-cell overflow
+    overflow: jnp.ndarray       # bool: capacity overflow OR skin-guard trip
     v_max: jnp.ndarray
     n_pairs: jnp.ndarray        # reference-convention pair count
 
@@ -95,7 +108,7 @@ class Engine:
     """Compiled simulation engine bound to one (config, scene) pair.
 
     Exposes: ``init(state)`` (initial neighbor build + density pass, maps
-    SPH_Poiseuille.m:165-173), ``run_interval(state, idx, cache,
+    SPH_Poiseuille.m:165-173), ``run_interval(state, cands, geom,
     interval_len)`` (the full inner loop to the next output point), and
     ``step(...)`` (a single step, for tests)."""
 
@@ -113,8 +126,12 @@ class Engine:
         self.init = jax.jit(self._init)
         self.run_interval = jax.jit(self._run_interval)
 
+    def _rebuild(self, x, y):
+        return nbr.build_candidates(self.spec, x, y, self._mass,
+                                    self._wall_vx, self._wall_vy)
+
     # ---- single step (the reference's inner-loop body) ----
-    def _step(self, state: State, idx, cache, step_idx, remain,
+    def _step(self, state: State, cands, geom, step_idx, remain,
               g=None, mu=None):
         """One inner step. ``g``/``mu`` default to the config constants but
         may be traced scalars (parameter sweeps vmap over them)."""
@@ -122,69 +139,102 @@ class Engine:
         g = cfg.gravity_g if g is None else g
         mu = cfg.mu if mu is None else mu
         nu = mu / cfg.rho0
-        rho, vol, b11, b12, b21, b22 = density_correction(
-            spec, cache, self._mass, cfg.rho0, cfg.inv_sigma0)
+        nf = spec.n_fluid
+        js = cands.jsafe
+
+        # dt (value identical to the reference's post-shifting evaluation:
+        # it depends only on pre-step velocities, SPH_Poiseuille.m:259)
+        dt = verlet_dt(state.vx[:nf], state.vy[:nf], cfg.c_f, cfg.h, nu, g,
+                       remain)
+
+        # density reinit + stage-1 half-kick EOS (value-preserving hoist)
+        rho, vol = density_sums(spec, geom, cands, self._mass, cfg.rho0,
+                                cfg.inv_sigma0)
+        rho_half, p_half = half_kick_eos(spec, rho, state.drho_dt, dt,
+                                         cfg.rho0, cfg.p0)
+
+        (vol_j,) = gather_pack(js, (vol,))                     # gather A
+        b11, b12, b21, b22 = kernel_gradient_correction(spec, geom, vol_j)
+
+        (b11_j, b12_j, b21_j, b22_j, vx_j, vy_j, rho_half_j,
+         p_half_j) = gather_pack(js, (b11, b12, b21, b22, state.vx,
+                                      state.vy, rho_half, p_half))  # B
 
         fpx, fpy = viscous_force(
-            spec, cache, state.vx, state.vy, vol, b11, b12, b21, b22,
-            self._wall_vx, self._wall_vy, mu, cfg.h)
-        fpx = fpx.at[: spec.n_fluid].add(self._mass[: spec.n_fluid] * g)
+            spec, geom, cands, state.vx, state.vy, vol, b11, b12, b21, b22,
+            vol_j, b11_j, b12_j, b21_j, b22_j, vx_j, vy_j, mu, cfg.h)
+        fpx = fpx.at[:nf].add(self._mass[:nf] * g)
 
         x, y = transport_correction(
-            spec, cache, state.x, state.y, vol, b11, b12, b21, b22,
-            cfg.h, cfg.transport_coeff)
+            spec, geom, state.x, state.y, b11, b12, b21, b22,
+            vol_j, b11_j, b12_j, b21_j, b22_j, cfg.h, cfg.transport_coeff)
 
-        dt = verlet_dt(state.vx[: spec.n_fluid], state.vy[: spec.n_fluid],
-                       cfg.c_f, cfg.h, nu, g, remain)
-
-        rho, p, x, y, vx, vy, drho_dt, fx, fy = verlet_step(
-            spec, cache, vol, b11, b12, b21, b22, rho, self._mass,
-            x, y, state.vx, state.vy, state.drho_dt, fpx, fpy,
-            self._wall_vx, self._wall_vy, dt, cfg.rho0, cfg.p0, cfg.c_f)
+        # verlet: stage 1 force, kick, stage 2, finalize
+        x, y = half_drift(spec, x, y, state.vx, state.vy, dt)
+        fx, fy, _ = pressure_force(
+            spec, geom, cands, rho_half, p_half, self._mass, state.vx,
+            state.vy, fpx, fpy, vol, b11, b12, b21, b22,
+            vol_j, b11_j, b12_j, b21_j, b22_j, vx_j, vy_j,
+            rho_half_j, p_half_j, cfg.rho0, cfg.c_f)
+        vx2, vy2 = kick(spec, state.vx, state.vy, fpx, fpy, fx, fy,
+                        self._mass, dt)
+        x, y = half_drift(spec, x, y, vx2, vy2, dt)
+        vx2_j, vy2_j = gather_pack(js, (vx2, vy2))             # gather C
+        drho_dt = continuity_rate(spec, geom, cands, rho_half, vx2, vy2,
+                                  vol_j, vx2_j, vy2_j)
+        rho, p = finalize_density(spec, rho_half, drho_dt, dt, cfg.rho0,
+                                  cfg.p0)
 
         x = periodic_wrap(spec, x)
 
-        # neighbor refresh: candidates every `rebuild_every` steps,
-        # geometry every step
+        # neighbor refresh: candidates every `rebuild_every` steps (with a
+        # runtime skin guard), geometry every step (gather D)
         if cfg.rebuild_every <= 1:
-            idx, overflow = nbr.build_candidates(spec, x, y)
+            cands = self._rebuild(x, y)
+            guard = jnp.asarray(False)
         else:
-            idx, overflow = jax.lax.cond(
+            cands = jax.lax.cond(
                 step_idx % cfg.rebuild_every == 0,
-                lambda: nbr.build_candidates(spec, x, y),
-                lambda: (idx, jnp.asarray(False)))
-        cache = nbr.compute_geometry(spec, idx, x, y)
+                lambda: self._rebuild(x, y),
+                lambda: cands)
+            guard = nbr.displacement_exceeded(self.spec, cands, x, y)
+        geom = nbr.compute_geometry(spec, cands, x, y, vol)
 
         tau_bottom, tau_top = wall_shear(
-            spec, cache, y, vx, self._wall_vx, vol, b11, b12, b21, b22,
-            cfg.DL, cfg.DH, mu, cfg.h)
+            spec, geom, cands, vx2, vol, b11, b12, b21, b22, cfg.DL, mu,
+            cfg.h)
 
-        new_state = State(x=x, y=y, vx=vx, vy=vy, rho=rho, p=p,
+        new_state = State(x=x, y=y, vx=vx2, vy=vy2, rho=rho, p=p,
                           drho_dt=drho_dt, fx=fx, fy=fy, fpx=fpx, fpy=fpy,
                           vol=vol, b11=b11, b12=b12, b21=b21, b22=b22)
-        return new_state, idx, cache, dt, overflow, tau_bottom, tau_top
+        flag = cands.overflow | guard
+        return new_state, cands, geom, dt, flag, tau_bottom, tau_top
 
-    def step(self, state: State, idx, cache, step_idx=0, remain=jnp.inf):
+    def step(self, state: State, cands, geom, step_idx=0, remain=jnp.inf):
         """Single-step entry point for tests."""
         remain = jnp.asarray(remain, state.x.dtype)
-        return self._step(state, idx, cache,
+        return self._step(state, cands, geom,
                           jnp.asarray(step_idx, jnp.int32), remain)
 
     # ---- initial neighbor + density pass (SPH_Poiseuille.m:165-173) ----
     def _init(self, state: State):
         cfg, spec = self.cfg, self.spec
-        idx, cache, overflow = nbr.build_cache(spec, state.x, state.y)
-        rho, vol, b11, b12, b21, b22 = density_correction(
-            spec, cache, self._mass, cfg.rho0, cfg.inv_sigma0)
+        cands = self._rebuild(state.x, state.y)
+        geom = nbr.compute_geometry(spec, cands, state.x, state.y,
+                                    state.vol)
+        rho, vol = density_sums(spec, geom, cands, self._mass, cfg.rho0,
+                                cfg.inv_sigma0)
+        (vol_j,) = gather_pack(cands.jsafe, (vol,))
+        b11, b12, b21, b22 = kernel_gradient_correction(spec, geom, vol_j)
         p_f = cfg.p0 * (rho[: spec.n_fluid] / cfg.rho0 - 1.0)
         p = jnp.concatenate(
             [p_f, jnp.zeros((spec.n_total - spec.n_fluid,), p_f.dtype)])
         state = state._replace(rho=rho, p=p, vol=vol, b11=b11, b12=b12,
                                b21=b21, b22=b22)
-        return state, idx, cache, overflow
+        return state, cands, geom, cands.overflow
 
     # ---- full inner loop to the next output point ----
-    def _run_interval(self, state: State, idx, cache, interval_len,
+    def _run_interval(self, state: State, cands, geom, interval_len,
                       g=None, mu=None):
         dtype = state.x.dtype
         interval_len = jnp.asarray(interval_len, dtype)
@@ -194,24 +244,24 @@ class Engine:
             return t_local < interval_len - self._eps_t
 
         def body(carry):
-            (state, idx, cache, t_local, n_steps, overflow,
+            (state, cands, geom, t_local, n_steps, overflow,
              tau_b, tau_t) = carry
             remain = interval_len - t_local
-            state, idx, cache, dt, ovf, tau_b, tau_t = self._step(
-                state, idx, cache, n_steps, remain, g, mu)
-            return (state, idx, cache, t_local + dt, n_steps + 1,
-                    overflow | ovf, tau_b, tau_t)
+            state, cands, geom, dt, flag, tau_b, tau_t = self._step(
+                state, cands, geom, n_steps, remain, g, mu)
+            return (state, cands, geom, t_local + dt, n_steps + 1,
+                    overflow | flag, tau_b, tau_t)
 
         zero = jnp.asarray(0.0, dtype)
-        carry = (state, idx, cache, zero, jnp.asarray(0, jnp.int32),
+        carry = (state, cands, geom, zero, jnp.asarray(0, jnp.int32),
                  jnp.asarray(False), zero, zero)
-        (state, idx, cache, _, n_steps, overflow,
+        (state, cands, geom, _, n_steps, overflow,
          tau_b, tau_t) = jax.lax.while_loop(cond, body, carry)
 
         nf = self.spec.n_fluid
         v_max = jnp.sqrt(jnp.max(state.vx[:nf] ** 2 + state.vy[:nf] ** 2))
-        n_pairs = nbr.count_pairs(self.spec, cache)
-        return IntervalResult(state=state, idx=idx, cache=cache,
+        n_pairs = nbr.count_pairs(geom)
+        return IntervalResult(state=state, cands=cands, geom=geom,
                               tau_bottom=tau_b, tau_top=tau_t,
                               n_steps=n_steps, overflow=overflow,
                               v_max=v_max, n_pairs=n_pairs)

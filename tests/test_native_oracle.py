@@ -112,8 +112,8 @@ def test_native_vs_jax_engine_step(setup):
     x32 = s["x"].astype(f32).astype(np.float64)
     y32 = s["y"].astype(f32).astype(np.float64)
 
-    from sph_poiseuille_flow_tpu.ops import neighbors as nbr
     from sph_poiseuille_flow_tpu.ops.integration import verlet_step
+    from jax_ops_helpers import build_cands_geom
 
     pairs = native_oracle.build_pairs(x32, y32, nf, cfg.DL, cfg.h)
     rho_c, vol_c, b_c = native_oracle.density_correction(
@@ -124,12 +124,11 @@ def test_native_vs_jax_engine_step(setup):
         pairs, vol_c, b_c, rho_c, scene.mass, pos, s["vel"], s["drho"],
         s["fprior"], dt, nf, n, cfg.rho0, cfg.p0, cfg.c_f, s["wall_vel"])
 
-    spec = nbr.make_grid_spec(cfg, scene)
-    _, cache, overflow = nbr.build_cache(spec, x32.astype(f32),
+    spec, cands, geom = build_cands_geom(cfg, scene, x32.astype(f32),
                                          y32.astype(f32))
-    assert not bool(overflow)
+    assert not bool(cands.overflow)
     out_j = verlet_step(
-        spec, cache, vol_c.astype(f32),
+        spec, geom, cands, vol_c.astype(f32),
         b_c[:, 0].astype(f32), b_c[:, 1].astype(f32),
         b_c[:, 2].astype(f32), b_c[:, 3].astype(f32),
         rho_c.astype(f32), scene.mass.astype(f32),
@@ -137,7 +136,6 @@ def test_native_vs_jax_engine_step(setup):
         s["vel"][:, 0].astype(f32), s["vel"][:, 1].astype(f32),
         s["drho"].astype(f32), s["fprior"][:, 0].astype(f32),
         s["fprior"][:, 1].astype(f32),
-        s["wall_vel"][:, 0].astype(f32), s["wall_vel"][:, 1].astype(f32),
         np.float32(dt), cfg.rho0, cfg.p0, cfg.c_f)
 
     rho_j, p_j, x_j, y_j, vx_j, vy_j, drho_j, fx_j, fy_j = out_j

@@ -2,7 +2,9 @@
 
 This is the subsystem both reference fixes live in (periodic ghost + dedup,
 sph_neighbor_search_mex.c:267-303) — validated here pair-for-pair, including
-seam particles, against an independent NumPy implementation.
+seam particles, against an independent NumPy implementation. Also covers
+capacity overflow flags, candidate compaction, skin-based candidate reuse,
+and the displacement guard.
 """
 
 import numpy as np
@@ -10,8 +12,8 @@ import pytest
 
 from sph_poiseuille_flow_tpu.models.poiseuille import build_scene
 from sph_poiseuille_flow_tpu.ops import neighbors as nbr
-from sph_poiseuille_flow_tpu.stepper import initial_state
 
+from jax_ops_helpers import build_cands_geom
 from test_config import default_cfg
 
 
@@ -32,17 +34,17 @@ def brute_force_pairs(x, y, n_fluid, DL, cutoff):
     return pairs
 
 
-def extract_cache_pairs(spec, idx, cache):
-    """Valid directed pairs from the dense cache (idx unused; kept for
-    signature symmetry with build_cache outputs)."""
-    mask = np.asarray(cache.mask_f + cache.mask_w) > 0
-    dx = np.asarray(cache.dx)
-    dy = np.asarray(cache.dy)
-    r = np.asarray(cache.r)
+def extract_pairs(spec, cands, geom):
+    """Valid directed pairs from the dense compacted rows."""
+    mask = np.asarray(geom.mask_f + geom.mask_w) > 0
+    dx = np.asarray(geom.dx)
+    dy = np.asarray(geom.dy)
+    r = np.asarray(geom.r)
+    jsafe = np.asarray(cands.jsafe)
     out = {}
     for i in range(spec.n_fluid):
         for c in np.nonzero(mask[i])[0]:
-            j = int(np.asarray(cache.jsafe)[i, c])
+            j = int(jsafe[i, c])
             assert (i, j) not in out, f"duplicate pair ({i},{j})"
             out[(i, j)] = (dx[i, c], dy[i, c], r[i, c])
     return out
@@ -61,13 +63,12 @@ def test_matches_brute_force(seed, n_jitter):
         y[:scene.n_fluid] += rng.uniform(-0.4, 0.4, scene.n_fluid) * cfg.dp * n_jitter
         x[:scene.n_fluid] = np.mod(x[:scene.n_fluid], cfg.DL)
 
-    spec = nbr.make_grid_spec(cfg, scene)
     xj = np.asarray(x, np.float32)
     yj = np.asarray(y, np.float32)
-    idx, cache, overflow = nbr.build_cache(spec, xj, yj)
-    assert not bool(overflow)
+    spec, cands, geom = build_cands_geom(cfg, scene, xj, yj)
+    assert not bool(cands.overflow)
 
-    got = extract_cache_pairs(spec, idx, cache)
+    got = extract_pairs(spec, cands, geom)
     want = brute_force_pairs(np.asarray(xj, np.float64),
                              np.asarray(yj, np.float64),
                              scene.n_fluid, cfg.DL, spec.cutoff)
@@ -88,10 +89,10 @@ def test_seam_symmetry():
     """Fluid-fluid pairs appear in both directions with negated geometry."""
     cfg = default_cfg(DL=1.0, DH=0.5, dp=0.05, end_time=1.0)
     scene = build_scene(cfg)
-    spec = nbr.make_grid_spec(cfg, scene)
-    idx, cache, _ = nbr.build_cache(
-        spec, np.asarray(scene.x, np.float32), np.asarray(scene.y, np.float32))
-    got = extract_cache_pairs(spec, idx, cache)
+    spec, cands, geom = build_cands_geom(
+        cfg, scene, np.asarray(scene.x, np.float32),
+        np.asarray(scene.y, np.float32))
+    got = extract_pairs(spec, cands, geom)
     for (i, j), (dx, dy, r) in got.items():
         if j < spec.n_fluid:
             assert (j, i) in got
@@ -105,41 +106,71 @@ def test_pair_count_uniform_lattice():
     full kernel-support stencil; spot-check neighbor counts."""
     cfg = default_cfg()
     scene = build_scene(cfg)
-    spec = nbr.make_grid_spec(cfg, scene)
-    idx, cache, overflow = nbr.build_cache(
-        spec, np.asarray(scene.x, np.float32), np.asarray(scene.y, np.float32))
-    assert not bool(overflow)
-    counts = np.asarray(cache.mask_f + cache.mask_w).sum(axis=1)
+    spec, cands, geom = build_cands_geom(
+        cfg, scene, np.asarray(scene.x, np.float32),
+        np.asarray(scene.y, np.float32))
+    assert not bool(cands.overflow)
+    counts = np.asarray(geom.mask_f + geom.mask_w).sum(axis=1)
     # dp lattice, cutoff 2.6 dp: 20 neighbors within radius for every
     # interior particle (5x5 block minus corners minus self)
     assert counts.max() == 20
     assert counts.min() > 0
-    # interior particles (y well inside) all have exactly 20
     yf = scene.y[:scene.n_fluid]
     interior = (yf > 3 * cfg.dp) & (yf < cfg.DH - 3 * cfg.dp)
     assert np.all(counts[interior] == 20)
 
 
-def test_overflow_detection():
+def test_cell_overflow_detection():
     cfg = default_cfg(DL=1.0, DH=0.5, dp=0.05, end_time=1.0, cell_capacity=2)
     scene = build_scene(cfg)
-    spec = nbr.make_grid_spec(cfg, scene)
-    _, _, overflow = nbr.build_cache(
-        spec, np.asarray(scene.x, np.float32), np.asarray(scene.y, np.float32))
-    assert bool(overflow)
+    spec, cands, geom = build_cands_geom(
+        cfg, scene, np.asarray(scene.x, np.float32),
+        np.asarray(scene.y, np.float32))
+    assert bool(cands.overflow)
+
+
+def test_compaction_overflow_detection():
+    cfg = default_cfg(DL=1.0, DH=0.5, dp=0.05, end_time=1.0,
+                      neighbor_capacity=4)
+    scene = build_scene(cfg)
+    spec, cands, geom = build_cands_geom(
+        cfg, scene, np.asarray(scene.x, np.float32),
+        np.asarray(scene.y, np.float32))
+    assert bool(cands.overflow)
 
 
 def test_skin_gives_same_interaction_set():
     cfg = default_cfg(DL=1.0, DH=0.5, dp=0.05, end_time=1.0)
     cfg_skin = default_cfg(DL=1.0, DH=0.5, dp=0.05, end_time=1.0,
-                           neighbor_skin=0.5 * 0.05, cell_capacity=24)
+                           neighbor_skin=0.5 * 0.05, cell_capacity=24,
+                           neighbor_capacity=64)
     scene = build_scene(cfg)
     x = np.asarray(scene.x, np.float32)
     y = np.asarray(scene.y, np.float32)
-    spec_a = nbr.make_grid_spec(cfg, scene)
-    spec_b = nbr.make_grid_spec(cfg_skin, scene)
-    _, cache_a, _ = nbr.build_cache(spec_a, x, y)
-    _, cache_b, _ = nbr.build_cache(spec_b, x, y)
-    pairs_a = extract_cache_pairs(spec_a, None, cache_a)
-    pairs_b = extract_cache_pairs(spec_b, None, cache_b)
+    spec_a, cands_a, geom_a = build_cands_geom(cfg, scene, x, y)
+    spec_b, cands_b, geom_b = build_cands_geom(cfg_skin, scene, x, y)
+    pairs_a = extract_pairs(spec_a, cands_a, geom_a)
+    pairs_b = extract_pairs(spec_b, cands_b, geom_b)
     assert set(pairs_a) == set(pairs_b)
+
+
+def test_displacement_guard():
+    cfg = default_cfg(DL=1.0, DH=0.5, dp=0.05, end_time=1.0,
+                      neighbor_skin=0.5 * 0.05, cell_capacity=24,
+                      neighbor_capacity=64)
+    scene = build_scene(cfg)
+    x = np.asarray(scene.x, np.float32)
+    y = np.asarray(scene.y, np.float32)
+    spec, cands, geom = build_cands_geom(cfg, scene, x, y)
+    # small move: within skin/2 -> no trip
+    x_small = x.copy()
+    x_small[0] += 0.4 * spec.skin / 2
+    assert not bool(nbr.displacement_exceeded(spec, cands, x_small, y))
+    # large move: beyond skin/2 -> trip
+    x_big = x.copy()
+    x_big[0] += 1.1 * spec.skin / 2
+    assert bool(nbr.displacement_exceeded(spec, cands, x_big, y))
+    # periodic wrap must not look like a huge displacement
+    x_wrap = x.copy()
+    x_wrap[0] = np.float32(np.mod(x_wrap[0] - 0.4 * spec.skin / 2, cfg.DL))
+    assert not bool(nbr.displacement_exceeded(spec, cands, x_wrap, y))
