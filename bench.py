@@ -34,32 +34,36 @@ def main(dp: float = 0.025, n_timed_intervals: int = 2,
     cfg = derive_config(
         DL=3.0, DH=1.0, dp=dp, rho0=1.0, mu=0.1, U_bulk=0.666667, c_f=15.0,
         end_time=20.0, output_interval=interval, sort_interval=100,
-        restart_from_file=False)
+        restart_from_file=False,
+        # skin-based candidate reuse: identical pair sets to every-step
+        # rebuild (runtime displacement guard -> overflow flag), ~2x faster
+        neighbor_skin=0.75 * dp, rebuild_every=4,
+        cell_capacity=24, neighbor_capacity=56)
     scene = build_scene(cfg)
     engine = Engine(cfg, scene)
     state = initial_state(cfg, scene)
-    state, idx, cache, overflow = engine.init(state)
+    state, cands, geom, overflow = engine.init(state)
     assert not bool(overflow), "neighbor cell overflow at init"
 
     import jax
     # warmup: compile + one short interval
-    res = engine.run_interval(state, idx, cache, np.float32(interval))
+    res = engine.run_interval(state, cands, geom, np.float32(interval))
     jax.block_until_ready(res.state.x)
-    state, idx, cache = res.state, res.idx, res.cache
+    state, cands, geom = res.state, res.cands, res.geom
 
     steps = 0
     t0 = time.perf_counter()
     for _ in range(n_timed_intervals):
-        res = engine.run_interval(state, idx, cache, np.float32(interval))
+        res = engine.run_interval(state, cands, geom, np.float32(interval))
         jax.block_until_ready(res.state.x)
-        state, idx, cache = res.state, res.idx, res.cache
+        state, cands, geom = res.state, res.cands, res.geom
         steps += int(res.n_steps)
     elapsed = time.perf_counter() - t0
     assert not bool(res.overflow), "neighbor cell overflow during bench"
 
     psps = steps * scene.n_fluid / elapsed
     out = {
-        "metric": "particle_steps_per_sec_dp0.025",
+        "metric": f"particle_steps_per_sec_dp{dp:g}",
         "value": round(psps, 1),
         "unit": "particle-steps/sec",
         "vs_baseline": round(psps / REF_BASELINE_PSPS, 3),

@@ -1,0 +1,92 @@
+"""Parallel layer: vmapped (g, mu) sweeps and the GSPMD row-sharded engine
+(8 virtual CPU devices via conftest XLA flags)."""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from sph_poiseuille_flow_tpu.models.poiseuille import build_scene
+from sph_poiseuille_flow_tpu.parallel import (ShardedEngine, make_mesh,
+                                              make_workloads, run_sweep)
+from sph_poiseuille_flow_tpu.stepper import Engine, initial_state
+
+from test_config import default_cfg
+
+
+def _quick_cfg(**kw):
+    return default_cfg(DL=1.0, DH=0.5, dp=0.05, end_time=0.2,
+                       output_interval=0.1, **kw)
+
+
+def test_make_workloads_scaling():
+    cfg = _quick_cfg()
+    gs, mus = make_workloads(cfg, [0.1, 0.2, 0.4])
+    np.testing.assert_allclose(
+        gs, 12.0 * mus * cfg.U_bulk / (cfg.rho0 * cfg.DH ** 2))
+
+
+def test_sweep_matches_single_runs():
+    """Lane k of the vmapped sweep must match a plain Engine run with the
+    same (g, mu)."""
+    cfg = _quick_cfg()
+    mus = [0.1, 0.25]
+    gs, mus = make_workloads(cfg, mus)
+    out = run_sweep(cfg, gs, mus, log=lambda s: None)
+    assert out["l2_errors"].shape == (2,)
+    assert np.all(np.isfinite(out["l2_errors"]))
+
+    # single-engine reference for lane 1 (different mu than cfg's)
+    scene = build_scene(cfg)
+    engine = Engine(cfg, scene)
+    state, cands, geom, _ = engine.init(initial_state(cfg, scene))
+    import jax.numpy as jnp
+    t = 0.0
+    g1 = jnp.asarray(gs[1], jnp.float32)
+    mu1 = jnp.asarray(mus[1], jnp.float32)
+    run1 = jax.jit(engine._run_interval)
+    while t < cfg.end_time - 1e-9:
+        res = run1(state, cands, geom, np.float32(0.1), g1, mu1)
+        state, cands, geom = res.state, res.cands, res.geom
+        t += 0.1
+    nf = scene.n_fluid
+    u_single = np.asarray(state.vx[:nf])
+    u_sweep = np.asarray(out["final_states"].vx[1][:nf])
+    np.testing.assert_allclose(u_sweep, u_single, rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_matches_single_device():
+    cfg = _quick_cfg()
+    scene = build_scene(cfg)
+    assert scene.n_fluid % 8 == 0
+
+    engine = Engine(cfg, scene)
+    s0 = initial_state(cfg, scene)
+    s1, c1, g1, _ = engine.init(s0)
+    r1 = engine.run_interval(s1, c1, g1, np.float32(0.05))
+
+    sharded = ShardedEngine(cfg, scene, make_mesh(8))
+    s2, c2, g2, ovf = sharded.init(s0)
+    assert not bool(ovf)
+    r2 = sharded.run_interval(s2, c2, g2, 0.05)
+
+    assert int(r1.n_steps) == int(r2.n_steps)
+    nf = scene.n_fluid
+    np.testing.assert_allclose(np.asarray(r2.state.vx[:nf]),
+                               np.asarray(r1.state.vx[:nf]),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(r2.state.x[:nf]),
+                               np.asarray(r1.state.x[:nf]),
+                               rtol=1e-5, atol=1e-6)
+    assert float(r2.tau_bottom) == pytest.approx(float(r1.tau_bottom),
+                                                 rel=1e-3, abs=1e-6)
+
+
+def test_sharded_rejects_uneven_split():
+    cfg = _quick_cfg()
+    scene = build_scene(cfg)
+    # 200 fluid particles do not divide over 3 devices
+    with pytest.raises(ValueError):
+        ShardedEngine(cfg, scene, make_mesh(3))
