@@ -29,7 +29,7 @@ REF_BASELINE_PSPS = 2.4e6
 def main(dp: float = 0.025, n_timed_intervals: int = 2,
          interval: float = 0.05) -> dict:
     from sph_poiseuille_flow_tpu import (
-        Engine, build_scene, derive_config, initial_state)
+        build_scene, derive_config, initial_state, make_engine)
 
     cfg = derive_config(
         DL=3.0, DH=1.0, dp=dp, rho0=1.0, mu=0.1, U_bulk=0.666667, c_f=15.0,
@@ -40,7 +40,7 @@ def main(dp: float = 0.025, n_timed_intervals: int = 2,
         neighbor_skin=0.75 * dp, rebuild_every=4,
         cell_capacity=24, neighbor_capacity=56)
     scene = build_scene(cfg)
-    engine = Engine(cfg, scene)
+    engine = make_engine(cfg, scene)
     state = initial_state(cfg, scene)
     state, cands, geom, overflow = engine.init(state)
     assert not bool(overflow), "neighbor cell overflow at init"

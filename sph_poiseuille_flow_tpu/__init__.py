@@ -10,12 +10,13 @@ from .config import (SPHConfig, ConfigError, parse_ini, parse_ini_text,
                      get_ini_numeric, derive_config, load_config,
                      env_override)
 from .models.poiseuille import Scene, build_scene
-from .stepper import Engine, State, initial_state
+from .stepper import CellEngine, Engine, State, initial_state, make_engine
 
 __all__ = [
     "SPHConfig", "ConfigError", "parse_ini", "parse_ini_text",
     "get_ini_numeric", "derive_config", "load_config", "env_override",
-    "Scene", "build_scene", "Engine", "State", "initial_state",
+    "Scene", "build_scene", "Engine", "CellEngine", "make_engine",
+    "State", "initial_state",
 ]
 
 __version__ = "0.1.0"

@@ -18,7 +18,7 @@ import numpy as np
 
 from ..config import SPHConfig
 from ..models.poiseuille import Scene, build_scene
-from ..stepper import Engine, initial_state
+from ..stepper import initial_state, make_engine
 from ..utils import postprocess as pp
 
 
@@ -42,7 +42,7 @@ def run_sweep(cfg: SPHConfig, gs, mus, log=print) -> dict:
     n_work = gs.size
 
     scene = build_scene(cfg)
-    engine = Engine(cfg, scene)
+    engine = make_engine(cfg, scene)
     state0 = initial_state(cfg, scene)
     state0, cands0, geom0, overflow = engine.init(state0)
     if bool(overflow):

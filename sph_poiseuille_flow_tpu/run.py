@@ -29,6 +29,11 @@ def main(argv=None) -> int:
                              "overridable via SPH_CONFIG_OVERRIDE)")
     parser.add_argument("--base-dir", default=".",
                         help="base directory for outputs")
+    parser.add_argument("--engine", default="cellgrid",
+                        choices=["cellgrid", "gather"],
+                        help="hot-path implementation (cellgrid: gather-free "
+                             "padded cell layout; gather: packed-gather "
+                             "dense candidates)")
     parser.add_argument("--dtype", default="float32",
                         choices=["float32", "float64"],
                         help="device state dtype")
@@ -54,7 +59,8 @@ def main(argv=None) -> int:
     config_path = args.config or env_override(
         "SPH_CONFIG_OVERRIDE", os.path.join(args.base_dir, "config.ini"))
     cfg = load_config(
-        config_path, dtype=args.dtype, cell_capacity=args.cell_capacity,
+        config_path, engine=args.engine, dtype=args.dtype,
+        cell_capacity=args.cell_capacity,
         neighbor_skin=args.neighbor_skin, rebuild_every=args.rebuild_every)
     paths = SimulationPaths.from_env(args.base_dir)
     result = Simulation(cfg, paths).run()

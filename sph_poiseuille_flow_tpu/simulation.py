@@ -17,7 +17,7 @@ import numpy as np
 
 from .config import SPHConfig, env_override, load_config
 from .models.poiseuille import Scene, build_scene
-from .stepper import Engine, State, initial_state
+from .stepper import State, initial_state, make_engine
 from .utils import checkpoint
 from .utils import postprocess as pp
 
@@ -64,7 +64,7 @@ class Simulation:
         self.paths = paths or SimulationPaths()
         self.log = log
         self.scene: Scene = build_scene(cfg)
-        self.engine = Engine(cfg, self.scene)
+        self.engine = make_engine(cfg, self.scene)
         self.t = 0.0
         self.step = 0
         self.profile_times: List[float] = []

@@ -265,3 +265,139 @@ class Engine:
                               tau_bottom=tau_b, tau_top=tau_t,
                               n_steps=n_steps, overflow=overflow,
                               v_max=v_max, n_pairs=n_pairs)
+
+
+class CellEngine:
+    """Gather-free engine on the padded cell layout (ops/cellgrid.py).
+
+    Same public API and step semantics as ``Engine`` — validated
+    step-for-step against it — but every per-pair access is a static slice
+    of the cell grid instead of a general gather; only one packed scatter
+    and one packed collect per step touch particle order. This is the
+    production TPU hot path."""
+
+    def __init__(self, cfg: SPHConfig, scene: Scene):
+        from .ops import cellgrid as cg
+        self._cg = cg
+        self.cfg = cfg
+        self.scene = scene
+        self.spec = nbr.make_grid_spec(cfg, scene)
+        dtype = jnp.dtype(cfg.dtype)
+        self._mass = jnp.asarray(scene.mass, dtype)
+        self._wall_vx = jnp.zeros((scene.n_total,), dtype)
+        self._wall_vy = jnp.zeros((scene.n_total,), dtype)
+        self._wall_y = jnp.asarray(scene.y, dtype)  # wall positions static
+        self._eps_t = 1e-6
+        self.init = jax.jit(self._init)
+        self.run_interval = jax.jit(self._run_interval)
+
+    def _rebuild(self, x, y):
+        return self._cg.build_layout(self.spec, x, y, self._mass,
+                                     self._wall_vx, self._wall_vy,
+                                     self._wall_y)
+
+    def _step(self, state: State, lay, geom, step_idx, remain,
+              g=None, mu=None):
+        cfg, spec, cg = self.cfg, self.spec, self._cg
+        g = cfg.gravity_g if g is None else g
+        mu = cfg.mu if mu is None else mu
+        nu = mu / cfg.rho0
+        nf = spec.n_fluid
+
+        dt = verlet_dt(state.vx[:nf], state.vy[:nf], cfg.c_f, cfg.h, nu, g,
+                       remain)
+        out = cg.cell_step(
+            spec, lay, geom, self._mass, state.x, state.y, state.vx,
+            state.vy, state.drho_dt, dt, cfg.rho0, cfg.p0, cfg.c_f,
+            cfg.inv_sigma0, cfg.transport_coeff, g, mu)
+
+        x = periodic_wrap(spec, out["x"])
+        y = out["y"]
+
+        if cfg.rebuild_every <= 1:
+            lay = self._rebuild(x, y)
+            guard = jnp.asarray(False)
+        else:
+            lay = jax.lax.cond(
+                step_idx % cfg.rebuild_every == 0,
+                lambda: self._rebuild(x, y),
+                lambda: lay)
+            guard = cg.displacement_exceeded(spec, lay, x, y)
+        geom = cg.compute_geometry(spec, lay, x, y)
+
+        tau_bottom, tau_top = cg.cell_wall_shear(
+            spec, lay, geom, out["vx"], out["vol"], out["b11"], out["b12"],
+            out["b21"], out["b22"], mu)
+
+        new_state = State(
+            x=x, y=y, vx=out["vx"], vy=out["vy"], rho=out["rho"],
+            p=out["p"], drho_dt=out["drho_dt"], fx=out["fx"], fy=out["fy"],
+            fpx=out["fpx"], fpy=out["fpy"], vol=out["vol"],
+            b11=out["b11"], b12=out["b12"], b21=out["b21"],
+            b22=out["b22"])
+        flag = lay.overflow | guard
+        return new_state, lay, geom, dt, flag, tau_bottom, tau_top
+
+    def step(self, state: State, lay, geom, step_idx=0, remain=jnp.inf):
+        remain = jnp.asarray(remain, state.x.dtype)
+        return self._step(state, lay, geom,
+                          jnp.asarray(step_idx, jnp.int32), remain)
+
+    def _init(self, state: State):
+        """Initial neighbor build + density/KGC/EOS pass
+        (SPH_Poiseuille.m:165-173): a zero-dt, zero-shift cell step whose
+        kinematic outputs are identities; drho is reset to zero."""
+        cfg, spec, cg = self.cfg, self.spec, self._cg
+        lay = self._rebuild(state.x, state.y)
+        geom = cg.compute_geometry(spec, lay, state.x, state.y)
+        out = cg.cell_step(
+            spec, lay, geom, self._mass, state.x, state.y, state.vx,
+            state.vy, jnp.zeros_like(state.drho_dt),
+            jnp.asarray(0.0, state.x.dtype), cfg.rho0, cfg.p0, cfg.c_f,
+            cfg.inv_sigma0, 0.0, cfg.gravity_g, cfg.mu)
+        z = jnp.zeros_like(state.drho_dt)
+        state = state._replace(
+            rho=out["rho"], p=out["p"], vol=out["vol"], b11=out["b11"],
+            b12=out["b12"], b21=out["b21"], b22=out["b22"], drho_dt=z)
+        return state, lay, geom, lay.overflow
+
+    def _run_interval(self, state: State, lay, geom, interval_len,
+                      g=None, mu=None):
+        dtype = state.x.dtype
+        interval_len = jnp.asarray(interval_len, dtype)
+
+        def cond(carry):
+            _, _, _, t_local, *_ = carry
+            return t_local < interval_len - self._eps_t
+
+        def body(carry):
+            (state, lay, geom, t_local, n_steps, overflow,
+             tau_b, tau_t) = carry
+            remain = interval_len - t_local
+            state, lay, geom, dt, flag, tau_b, tau_t = self._step(
+                state, lay, geom, n_steps, remain, g, mu)
+            return (state, lay, geom, t_local + dt, n_steps + 1,
+                    overflow | flag, tau_b, tau_t)
+
+        zero = jnp.asarray(0.0, dtype)
+        carry = (state, lay, geom, zero, jnp.asarray(0, jnp.int32),
+                 jnp.asarray(False), zero, zero)
+        (state, lay, geom, _, n_steps, overflow,
+         tau_b, tau_t) = jax.lax.while_loop(cond, body, carry)
+
+        nf = self.spec.n_fluid
+        v_max = jnp.sqrt(jnp.max(state.vx[:nf] ** 2 + state.vy[:nf] ** 2))
+        n_pairs = self._cg.count_pairs(lay, geom)
+        return IntervalResult(state=state, cands=lay, geom=geom,
+                              tau_bottom=tau_b, tau_top=tau_t,
+                              n_steps=n_steps, overflow=overflow,
+                              v_max=v_max, n_pairs=n_pairs)
+
+
+def make_engine(cfg: SPHConfig, scene: Scene):
+    """Engine factory honoring cfg.engine ("cellgrid" | "gather")."""
+    if cfg.engine == "cellgrid":
+        return CellEngine(cfg, scene)
+    if cfg.engine == "gather":
+        return Engine(cfg, scene)
+    raise ValueError(f"unknown engine {cfg.engine!r}")
