@@ -49,6 +49,9 @@ def main(argv=None) -> int:
     parser.add_argument("--postprocess-only", metavar="NPZ", default=None,
                         help="run only the postprocess stage on an existing "
                              "handoff file")
+    parser.add_argument("--profile", metavar="DIR", default=None,
+                        help="capture a JAX/XLA profiler trace of the run "
+                             "into DIR (view with TensorBoard/xprof)")
     args = parser.parse_args(argv)
 
     if args.postprocess_only:
@@ -63,7 +66,15 @@ def main(argv=None) -> int:
         cell_capacity=args.cell_capacity,
         neighbor_skin=args.neighbor_skin, rebuild_every=args.rebuild_every)
     paths = SimulationPaths.from_env(args.base_dir)
-    result = Simulation(cfg, paths).run()
+    if args.profile:
+        import contextlib
+        import jax
+        profile_cm = jax.profiler.trace(args.profile)
+    else:
+        import contextlib
+        profile_cm = contextlib.nullcontext()
+    with profile_cm:
+        result = Simulation(cfg, paths).run()
     print(f"throughput: {result['particle_steps_per_sec']:.3e} "
           f"particle-steps/sec over {result['step']} steps")
     return 0 if result["passed"] else 1

@@ -148,8 +148,16 @@ class Simulation:
             self.total_steps_run += n_steps
             if bool(res.overflow):
                 raise RuntimeError(
-                    f"neighbor cell capacity exceeded during interval ending "
-                    f"t={target:.6f}; increase cell_capacity")
+                    f"neighbor capacity exceeded or skin guard tripped "
+                    f"during interval ending t={target:.6f}; increase "
+                    f"cell_capacity / reduce rebuild_every")
+            if not np.isfinite(float(res.v_max)):
+                # divergence guard (the reference's dt-collapse error,
+                # SPH_Poiseuille.m:260-263, adapted: non-finite velocities
+                # are the observable failure under a floored dt)
+                raise RuntimeError(
+                    f"simulation diverged (non-finite velocities) in the "
+                    f"interval ending t={target:.6f} at step {self.step}")
             state, cands, geom = res.state, res.cands, res.geom
             self.t = target
             self.step += n_steps
