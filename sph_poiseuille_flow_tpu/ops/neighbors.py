@@ -87,8 +87,13 @@ class GridSpec:
         return len(self.x_offsets) * 3 * self.K
 
 
-def make_grid_spec(cfg, scene, wall_margin: float = 0.0) -> GridSpec:
-    """Build the static grid geometry from config + scene extents."""
+def make_grid_spec(cfg, scene, wall_margin: float = 0.0,
+                   s_multiple: int = 1) -> GridSpec:
+    """Build the static grid geometry from config + scene extents.
+
+    ``s_multiple`` pads the cell-row count so the flattened cell axis
+    S = ny*nx is divisible by it (jit shardings of the cell-layout engine
+    require an even partition; extra rows hold only empty slots)."""
     cutoff = 2.0 * cfg.h
     cand_cutoff = cutoff + cfg.neighbor_skin
     nx = max(1, int(math.floor(cfg.DL / cand_cutoff)))
@@ -99,6 +104,8 @@ def make_grid_spec(cfg, scene, wall_margin: float = 0.0) -> GridSpec:
     y_lo = -cfg.wall_thickness - wall_margin
     y_hi = cfg.DH + cfg.wall_thickness + wall_margin
     ny = int(math.ceil((y_hi - y_lo) / cell_y)) + 2
+    while (ny * nx) % s_multiple != 0:
+        ny += 1
     y0 = y_lo - cell_y
     return GridSpec(
         n_fluid=scene.n_fluid, n_total=scene.n_total, DL=cfg.DL, DH=cfg.DH,

@@ -104,3 +104,61 @@ class ShardedEngine:
             return self._run(state, cands, geom,
                              jnp.asarray(interval_len, jnp.dtype(
                                  self.cfg.dtype)))
+
+
+class ShardedCellEngine:
+    """Spatial domain decomposition of the cell-layout engine.
+
+    The cell grid's flattened cell axis S = ny*nx is partitioned across the
+    mesh — contiguous blocks of cell ROWS, i.e. y-slabs of the channel.
+    Per-particle state stays replicated (tiny); all (S, K, 9K) pair work is
+    slab-local, and the 3x3 neighbor view's shifted y-concatenations become
+    GSPMD halo exchanges over ICI — the distributed generalization of the
+    reference's ghost-entry mechanism (SURVEY 2.3).
+    """
+
+    def __init__(self, cfg, scene, mesh: Mesh):
+        from ..stepper import CellEngine
+        from ..ops.cellgrid import CellLayout, CellGeometry
+
+        self.mesh = mesh
+        # pad the cell-row count so S = ny*nx divides evenly over the mesh
+        # (jit shardings require an exact partition); S is split into
+        # contiguous row-major blocks, i.e. y-slabs of the channel
+        self.engine = CellEngine(cfg, scene, s_multiple=mesh.devices.size)
+        self.cfg = cfg
+        self.scene = scene
+        self.spec = self.engine.spec
+
+        repl = NamedSharding(mesh, P())
+        cells = NamedSharding(mesh, P(AXIS))          # S-major partition
+
+        state_sh = State(*([repl] * len(State._fields)))
+        lay_sh = CellLayout(
+            slot=repl, pid_v=cells, pid_a=cells, valid_v=cells,
+            isf_v=cells, mass_v=cells, wvx_v=cells, wvy_v=cells,
+            wbot_v=cells, wtop_v=cells, a_fluid=cells, a_valid=cells,
+            ref_x=repl, ref_y=repl, overflow=repl)
+        geom_sh = CellGeometry(*([cells] * len(CellGeometry._fields)))
+
+        self._init = jax.jit(
+            self.engine._init,
+            in_shardings=(state_sh,),
+            out_shardings=(state_sh, lay_sh, geom_sh, repl))
+        self._run = jax.jit(
+            self.engine._run_interval,
+            in_shardings=(state_sh, lay_sh, geom_sh, repl),
+            out_shardings=IntervalResult(
+                state=state_sh, cands=lay_sh, geom=geom_sh,
+                tau_bottom=repl, tau_top=repl, n_steps=repl, overflow=repl,
+                v_max=repl, n_pairs=repl))
+
+    def init(self, state: State):
+        with self.mesh:
+            return self._init(state)
+
+    def run_interval(self, state: State, lay, geom, interval_len):
+        with self.mesh:
+            return self._run(state, lay, geom,
+                             jnp.asarray(interval_len,
+                                         jnp.dtype(self.cfg.dtype)))

@@ -276,12 +276,12 @@ class CellEngine:
     and one packed collect per step touch particle order. This is the
     production TPU hot path."""
 
-    def __init__(self, cfg: SPHConfig, scene: Scene):
+    def __init__(self, cfg: SPHConfig, scene: Scene, s_multiple: int = 1):
         from .ops import cellgrid as cg
         self._cg = cg
         self.cfg = cfg
         self.scene = scene
-        self.spec = nbr.make_grid_spec(cfg, scene)
+        self.spec = nbr.make_grid_spec(cfg, scene, s_multiple=s_multiple)
         dtype = jnp.dtype(cfg.dtype)
         self._mass = jnp.asarray(scene.mass, dtype)
         self._wall_vx = jnp.zeros((scene.n_total,), dtype)

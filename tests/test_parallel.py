@@ -8,9 +8,10 @@ import numpy as np
 import pytest
 
 from sph_poiseuille_flow_tpu.models.poiseuille import build_scene
-from sph_poiseuille_flow_tpu.parallel import (ShardedEngine, make_mesh,
+from sph_poiseuille_flow_tpu.parallel import (ShardedCellEngine,
+                                              ShardedEngine, make_mesh,
                                               make_workloads, run_sweep)
-from sph_poiseuille_flow_tpu.stepper import Engine, initial_state
+from sph_poiseuille_flow_tpu.stepper import CellEngine, Engine, initial_state
 
 from test_config import default_cfg
 
@@ -79,6 +80,36 @@ def test_sharded_matches_single_device():
                                rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(np.asarray(r2.state.x[:nf]),
                                np.asarray(r1.state.x[:nf]),
+                               rtol=1e-5, atol=1e-6)
+    assert float(r2.tau_bottom) == pytest.approx(float(r1.tau_bottom),
+                                                 rel=1e-3, abs=1e-6)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_cellgrid_matches_single_device():
+    """y-slab domain decomposition of the cell-layout engine must match the
+    single-device cell-layout engine (the halo concatenations become GSPMD
+    halo exchanges; results identical up to f32 reduction order)."""
+    cfg = _quick_cfg()
+    scene = build_scene(cfg)
+
+    single = CellEngine(cfg, scene, s_multiple=8)  # same padded grid
+    s0 = initial_state(cfg, scene)
+    s1, l1, g1, _ = single.init(s0)
+    r1 = single.run_interval(s1, l1, g1, np.float32(0.05))
+
+    sharded = ShardedCellEngine(cfg, scene, make_mesh(8))
+    s2, l2, g2, ov = sharded.init(s0)
+    assert not bool(ov)
+    r2 = sharded.run_interval(s2, l2, g2, 0.05)
+
+    assert int(r1.n_steps) == int(r2.n_steps)
+    nf = scene.n_fluid
+    np.testing.assert_allclose(np.asarray(r2.state.vx[:nf]),
+                               np.asarray(r1.state.vx[:nf]),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(r2.state.y[:nf]),
+                               np.asarray(r1.state.y[:nf]),
                                rtol=1e-5, atol=1e-6)
     assert float(r2.tau_bottom) == pytest.approx(float(r1.tau_bottom),
                                                  rel=1e-3, abs=1e-6)
