@@ -52,6 +52,10 @@ def main(argv=None) -> int:
     parser.add_argument("--profile", metavar="DIR", default=None,
                         help="capture a JAX/XLA profiler trace of the run "
                              "into DIR (view with TensorBoard/xprof)")
+    parser.add_argument("--sweep-mus", metavar="MU1,MU2,...", default=None,
+                        help="run a vmapped multi-workload sweep over these "
+                             "viscosities (g derived per workload to keep "
+                             "U_bulk fixed) instead of a single run")
     args = parser.parse_args(argv)
 
     if args.postprocess_only:
@@ -65,6 +69,18 @@ def main(argv=None) -> int:
         config_path, engine=args.engine, dtype=args.dtype,
         cell_capacity=args.cell_capacity,
         neighbor_skin=args.neighbor_skin, rebuild_every=args.rebuild_every)
+    if args.sweep_mus:
+        from .parallel import make_workloads, run_sweep
+        mus = [float(v) for v in args.sweep_mus.split(",") if v.strip()]
+        gs, mus = make_workloads(cfg, mus)
+        out = run_sweep(cfg, gs, mus)
+        for k, (mu_k, l2_k) in enumerate(zip(mus, out["l2_errors"])):
+            print(f"workload {k}: mu={mu_k:g} L2={100 * l2_k:.3f}%"
+                  f" {'PASS' if l2_k < 0.05 else 'FAIL'}")
+        print(f"throughput: {out['particle_steps_per_sec']:.3e} "
+              f"particle-steps/sec (sum over lanes)")
+        return 0 if bool((out["l2_errors"] < 0.05).all()) else 1
+
     paths = SimulationPaths.from_env(args.base_dir)
     if args.profile:
         import contextlib

@@ -396,6 +396,11 @@ class CellEngine:
 
 def make_engine(cfg: SPHConfig, scene: Scene):
     """Engine factory honoring cfg.engine ("cellgrid" | "gather")."""
+    if cfg.dtype == "float64" and not jax.config.jax_enable_x64:
+        # without x64, float64 requests silently downcast to f32 — enable
+        # it (only affects default dtypes of NEW traces; our arrays carry
+        # explicit dtypes throughout)
+        jax.config.update("jax_enable_x64", True)
     if cfg.engine == "cellgrid":
         return CellEngine(cfg, scene)
     if cfg.engine == "gather":
