@@ -155,10 +155,6 @@ class CellGeometry(NamedTuple):
     dw: jnp.ndarray
     mask_f: jnp.ndarray
     mask_w: jnp.ndarray
-    xa: jnp.ndarray  # (S, K) slot-side positions
-    ya: jnp.ndarray
-    xv: jnp.ndarray  # (S, 9K) view-side positions
-    yv: jnp.ndarray
 
 
 def compute_geometry(spec: GridSpec, lay: CellLayout, x, y) -> CellGeometry:
@@ -183,8 +179,7 @@ def compute_geometry(spec: GridSpec, lay: CellLayout, x, y) -> CellGeometry:
         w=w * fvalid, dw=dw * fvalid,
         mask_f=fvalid * lay.isf_v[:, None, :],
         mask_w=fvalid * (1.0 - lay.isf_v[:, None, :])
-        * lay.valid_v[:, None, :],
-        xa=xa, ya=ya, xv=xv, yv=yv)
+        * lay.valid_v[:, None, :])
 
 
 def displacement_exceeded(spec: GridSpec, lay: CellLayout, x, y):
@@ -220,7 +215,6 @@ def cell_step(spec: GridSpec, lay: CellLayout, geom: CellGeometry,
     """
     nf = spec.n_fluid
     h = spec.h
-    S = spec.n_cells
     af = lay.a_fluid  # (S, K) 1.0 for fluid-occupied slots
     m1 = geom.mask_f  # (S, K, 9K)
     mw = geom.mask_w
