@@ -30,10 +30,11 @@ def main(argv=None) -> int:
     parser.add_argument("--base-dir", default=".",
                         help="base directory for outputs")
     parser.add_argument("--engine", default="cellgrid",
-                        choices=["cellgrid", "gather"],
+                        choices=["cellgrid", "pallas", "gather"],
                         help="hot-path implementation (cellgrid: gather-free "
-                             "padded cell layout; gather: packed-gather "
-                             "dense candidates)")
+                             "padded cell layout; pallas: cellgrid with "
+                             "fused Pallas pair kernels; gather: "
+                             "packed-gather dense candidates)")
     parser.add_argument("--dtype", default="float32",
                         choices=["float32", "float64"],
                         help="device state dtype")

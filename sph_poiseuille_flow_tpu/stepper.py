@@ -296,6 +296,9 @@ class CellEngine:
                                      self._wall_vx, self._wall_vy,
                                      self._wall_y)
 
+    def _count_pairs(self, lay, geom):
+        return self._cg.count_pairs(lay, geom)
+
     def _step(self, state: State, lay, geom, step_idx, remain,
               g=None, mu=None):
         cfg, spec, cg = self.cfg, self.spec, self._cg
@@ -387,11 +390,78 @@ class CellEngine:
 
         nf = self.spec.n_fluid
         v_max = jnp.sqrt(jnp.max(state.vx[:nf] ** 2 + state.vy[:nf] ** 2))
-        n_pairs = self._cg.count_pairs(lay, geom)
+        n_pairs = self._count_pairs(lay, geom)
         return IntervalResult(state=state, cands=lay, geom=geom,
                               tau_bottom=tau_b, tau_top=tau_t,
                               n_steps=n_steps, overflow=overflow,
                               v_max=v_max, n_pairs=n_pairs)
+
+
+class PallasCellEngine(CellEngine):
+    """Cell-layout engine with every pair phase fused into a Pallas kernel
+    (ops/pallas_kernels.py): pair geometry is recomputed in VMEM inside
+    each kernel, so no (S, K, 9K) intermediate ever reaches HBM. The
+    ``geom`` slot of the engine API carries the step's pair count (the
+    kernels replace the geometry structure entirely)."""
+
+    def _step(self, state: State, lay, geom, step_idx, remain,
+              g=None, mu=None):
+        cfg, spec, cg = self.cfg, self.spec, self._cg
+        g = cfg.gravity_g if g is None else g
+        mu = cfg.mu if mu is None else mu
+        nu = mu / cfg.rho0
+        nf = spec.n_fluid
+
+        dt = verlet_dt(state.vx[:nf], state.vy[:nf], cfg.c_f, cfg.h, nu, g,
+                       remain)
+        out = cg.cell_step_pallas(
+            spec, lay, self._mass, state.x, state.y, state.vx, state.vy,
+            state.drho_dt, dt, cfg.rho0, cfg.p0, cfg.c_f, cfg.inv_sigma0,
+            cfg.transport_coeff, g, mu)
+
+        x = periodic_wrap(spec, out["x"])
+        y = out["y"]
+
+        if cfg.rebuild_every <= 1:
+            lay = self._rebuild(x, y)
+            guard = jnp.asarray(False)
+        else:
+            lay = jax.lax.cond(
+                step_idx % cfg.rebuild_every == 0,
+                lambda: self._rebuild(x, y),
+                lambda: lay)
+            guard = cg.displacement_exceeded(spec, lay, x, y)
+
+        tau_bottom, tau_top = cg.cell_wall_shear_pallas(
+            spec, lay, x, y, out["vx"], out["vol"], out["b11"], out["b12"],
+            out["b21"], out["b22"], mu)
+
+        new_state = State(
+            x=x, y=y, vx=out["vx"], vy=out["vy"], rho=out["rho"],
+            p=out["p"], drho_dt=out["drho_dt"], fx=out["fx"], fy=out["fy"],
+            fpx=out["fpx"], fpy=out["fpy"], vol=out["vol"],
+            b11=out["b11"], b12=out["b12"], b21=out["b21"],
+            b22=out["b22"])
+        flag = lay.overflow | guard
+        return (new_state, lay, out["n_pairs"], dt, flag, tau_bottom,
+                tau_top)
+
+    def _init(self, state: State):
+        cfg, spec, cg = self.cfg, self.spec, self._cg
+        lay = self._rebuild(state.x, state.y)
+        out = cg.cell_step_pallas(
+            spec, lay, self._mass, state.x, state.y, state.vx, state.vy,
+            jnp.zeros_like(state.drho_dt),
+            jnp.asarray(0.0, state.x.dtype), cfg.rho0, cfg.p0, cfg.c_f,
+            cfg.inv_sigma0, 0.0, cfg.gravity_g, cfg.mu)
+        z = jnp.zeros_like(state.drho_dt)
+        state = state._replace(
+            rho=out["rho"], p=out["p"], vol=out["vol"], b11=out["b11"],
+            b12=out["b12"], b21=out["b21"], b22=out["b22"], drho_dt=z)
+        return state, lay, out["n_pairs"], lay.overflow
+
+    def _count_pairs(self, lay, geom):
+        return geom  # carried from the step's density kernel
 
 
 def make_engine(cfg: SPHConfig, scene: Scene):
@@ -403,6 +473,8 @@ def make_engine(cfg: SPHConfig, scene: Scene):
         jax.config.update("jax_enable_x64", True)
     if cfg.engine == "cellgrid":
         return CellEngine(cfg, scene)
+    if cfg.engine == "pallas":
+        return PallasCellEngine(cfg, scene)
     if cfg.engine == "gather":
         return Engine(cfg, scene)
     raise ValueError(f"unknown engine {cfg.engine!r}")

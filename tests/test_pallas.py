@@ -1,0 +1,93 @@
+"""Pallas-fused engine equivalence: PallasCellEngine must reproduce the
+XLA cellgrid engine (kernels run in interpreter mode on CPU)."""
+
+import numpy as np
+import pytest
+
+from sph_poiseuille_flow_tpu.models.poiseuille import build_scene
+from sph_poiseuille_flow_tpu.stepper import (CellEngine, PallasCellEngine,
+                                             initial_state, make_engine)
+
+from test_config import default_cfg
+
+
+@pytest.fixture(scope="module")
+def engines():
+    cfg = default_cfg(DL=1.0, DH=0.5, dp=0.05, end_time=0.5,
+                      output_interval=0.25)
+    scene = build_scene(cfg)
+    return cfg, scene, CellEngine(cfg, scene), PallasCellEngine(cfg, scene)
+
+
+def _jittered_state(cfg, scene, state0, seed=7):
+    import jax.numpy as jnp
+    rng = np.random.default_rng(seed)
+    nf, n = scene.n_fluid, scene.n_total
+    x = np.asarray(state0.x).copy()
+    y = np.asarray(state0.y).copy()
+    x[:nf] = np.mod(x[:nf] + rng.uniform(-0.35, 0.35, nf) * cfg.dp, cfg.DL)
+    y[:nf] += rng.uniform(-0.35, 0.35, nf) * cfg.dp
+    vx = np.zeros(n, np.float32)
+    vy = np.zeros(n, np.float32)
+    vx[:nf] = rng.normal(0, 0.4, nf)
+    vy[:nf] = rng.normal(0, 0.1, nf)
+    drho = np.zeros(n, np.float32)
+    drho[:nf] = rng.normal(0, 0.05, nf)
+    return state0._replace(x=jnp.asarray(x, jnp.float32),
+                           y=jnp.asarray(y, jnp.float32),
+                           vx=jnp.asarray(vx), vy=jnp.asarray(vy),
+                           drho_dt=jnp.asarray(drho))
+
+
+def test_dispatch():
+    cfg = default_cfg(engine="pallas")
+    scene = build_scene(cfg)
+    assert isinstance(make_engine(cfg, scene), PallasCellEngine)
+
+
+def test_init_and_jittered_step_equivalence(engines):
+    cfg, scene, xla, pls = engines
+    st = _jittered_state(cfg, scene, initial_state(cfg, scene))
+
+    sa, la, ga, ova = xla.init(st)
+    sp, lp, gp, ovp = pls.init(st)
+    assert not bool(ova) and not bool(ovp)
+    tols = {"p": dict(rtol=5e-3, atol=5e-4)}
+    for name in ("rho", "vol", "b11", "b12", "b21", "b22", "p"):
+        tol = tols.get(name, dict(rtol=2e-4, atol=2e-5))
+        np.testing.assert_allclose(np.asarray(getattr(sp, name)),
+                                   np.asarray(getattr(sa, name)),
+                                   err_msg=f"init {name}", **tol)
+
+    out_a = xla.step(sa, la, ga, remain=1.0)
+    out_p = pls.step(sp, lp, gp, remain=1.0)
+    st_a, st_p = out_a[0], out_p[0]
+    assert float(out_p[3]) == pytest.approx(float(out_a[3]), rel=1e-6)
+    tols = {"p": dict(rtol=1e-2, atol=2.5e-2),
+            "drho_dt": dict(rtol=5e-3, atol=5e-3)}
+    for name in st_a._fields:
+        tol = tols.get(name, dict(rtol=2e-3, atol=5e-4))
+        np.testing.assert_allclose(np.asarray(getattr(st_p, name)),
+                                   np.asarray(getattr(st_a, name)),
+                                   err_msg=name, **tol)
+    # wall-shear monitor parity
+    assert float(out_p[5]) == pytest.approx(float(out_a[5]), rel=1e-3,
+                                            abs=1e-6)
+    assert float(out_p[6]) == pytest.approx(float(out_a[6]), rel=1e-3,
+                                            abs=1e-6)
+
+
+def test_interval_equivalence(engines):
+    cfg, scene, xla, pls = engines
+    state0 = initial_state(cfg, scene)
+    sa, la, ga, _ = xla.init(state0)
+    sp, lp, gp, _ = pls.init(state0)
+    ra = xla.run_interval(sa, la, ga, np.float32(0.05))
+    rp = pls.run_interval(sp, lp, gp, np.float32(0.05))
+    assert int(ra.n_steps) == int(rp.n_steps)
+    assert not bool(rp.overflow)
+    assert float(rp.v_max) == pytest.approx(float(ra.v_max), rel=1e-3,
+                                            abs=1e-6)
+    # pallas counts the step's own (pre-rebuild) pair set; on a short
+    # interval the sets coincide
+    assert int(rp.n_pairs) == int(ra.n_pairs)
