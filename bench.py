@@ -27,7 +27,7 @@ REF_BASELINE_PSPS = 2.4e6
 
 
 def main(dp: float = 0.025, n_timed_intervals: int = 2,
-         interval: float = 0.05) -> dict:
+         interval: float = 0.5) -> dict:
     from sph_poiseuille_flow_tpu import (
         build_scene, derive_config, initial_state, make_engine)
 
