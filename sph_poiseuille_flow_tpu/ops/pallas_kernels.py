@@ -41,9 +41,17 @@ def _interpret() -> bool:
 
 
 def _block_s(S: int) -> int:
-    """Cells per kernel block: keep (BS*K, 9K) pair temps comfortably in
-    VMEM while amortizing grid overhead."""
-    for bs in (32, 16, 8, 4, 2, 1):
+    """Cells per kernel block: Mosaic needs the block sublane count to be a
+    multiple of 8 (the engine pads S accordingly); keep (BS*K, 9K) pair
+    temps comfortably in VMEM while amortizing grid overhead."""
+    for bs in (32, 16, 8):
+        if S % bs == 0:
+            return bs
+    if jax.default_backend() == "tpu":
+        raise ValueError(
+            f"cell count S={S} must be divisible by 8 for the Pallas "
+            "engine (use PallasCellEngine, which pads the grid)")
+    for bs in (4, 2):
         if S % bs == 0:
             return bs
     return 1

@@ -404,6 +404,14 @@ class PallasCellEngine(CellEngine):
     ``geom`` slot of the engine API carries the step's pair count (the
     kernels replace the geometry structure entirely)."""
 
+    def __init__(self, cfg: SPHConfig, scene: Scene, s_multiple: int = 1):
+        # Mosaic requires the sublane dimension of each (BS, K) block to be
+        # a multiple of 8 (or the full array): pad the cell-row count so
+        # the flattened cell axis divides into 8-cell blocks
+        import math
+        super().__init__(cfg, scene,
+                         s_multiple=8 * s_multiple // math.gcd(8, s_multiple))
+
     def _step(self, state: State, lay, geom, step_idx, remain,
               g=None, mu=None):
         cfg, spec, cg = self.cfg, self.spec, self._cg
