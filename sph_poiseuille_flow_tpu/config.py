@@ -133,6 +133,10 @@ class SPHConfig:
     neighbor_capacity: int = 48     # compacted per-particle candidate slots
     neighbor_skin: float = 0.0      # extra candidate radius (enables reuse)
     rebuild_every: int = 1          # candidate-list refresh cadence (steps)
+    # one-sided wall viscous factor: 4.0 is the reference's hard-coded
+    # calibration (sph_physics_mex.c:383-388, 526); adjustable to calibrate
+    # out the first-order wall-slip bias of the scheme
+    wall_visc_factor: float = 4.0
 
     @property
     def signature(self) -> str:

@@ -214,7 +214,7 @@ def count_pairs(lay: CellLayout, geom: CellGeometry):
 def cell_step(spec: GridSpec, lay: CellLayout, geom: CellGeometry,
               mass, x, y, vx, vy, drho_dt, dt,
               rho0: float, p0: float, c_f: float, inv_sigma0: float,
-              transport_coeff: float, g, mu):
+              transport_coeff: float, g, mu, wall_visc_factor: float = 4.0):
     """One full physics step in cell layout: density+KGC -> viscous(+g) ->
     shifting -> Verlet (stage1 force, kick, stage2, finalize) -> wall-shear
     sums. Same operator order and formulas as Engine._step / the reference
@@ -322,7 +322,7 @@ def cell_step(spec: GridSpec, lay: CellLayout, geom: CellGeometry,
              + ey * ((b21a + b21v) * ex + (b22a + b22v) * ey))
     ebe_w = ex * (b11a * ex + b12a * ey) + ey * (b21a * ex + b22a * ey)
     coeff_f = ebe_f * mu * dwk * vol_vb / denom_r * m1
-    coeff_w = 4.0 * ebe_w * mu * dwk * vol_vb / denom_r * mw
+    coeff_w = wall_visc_factor * ebe_w * mu * dwk * vol_vb / denom_r * mw
     wvx_b = lay.wvx_v[:, None, :]
     wvy_b = lay.wvy_v[:, None, :]
     acc_x = jnp.sum(coeff_f * (vxa_c - vxv_b) + coeff_w * (vxa_c - wvx_b),
@@ -418,7 +418,8 @@ def cell_step(spec: GridSpec, lay: CellLayout, geom: CellGeometry,
 
 
 def cell_wall_shear(spec: GridSpec, lay: CellLayout, geom: CellGeometry,
-                    vx, vol, b11, b12, b21, b22, mu):
+                    vx, vol, b11, b12, b21, b22, mu,
+                    wall_visc_factor: float = 4.0):
     """Wall-shear monitor on the (freshly rebuilt) layout with the current
     step's vol/B and post-kick velocities — the reference's exact ordering
     (wall_shear_monitor runs AFTER the neighbor rebuild,
@@ -431,7 +432,7 @@ def cell_wall_shear(spec: GridSpec, lay: CellLayout, geom: CellGeometry,
     ebe = (ex * (b11_a[:, :, None] * ex + b12_a[:, :, None] * ey)
            + ey * (b21_a[:, :, None] * ex + b22_a[:, :, None] * ey))
     dv_x = vxa[:, :, None] - lay.wvx_v[:, None, :]
-    f_pair = (4.0 * mu * ebe * geom.dw * vol_v[:, None, :] * dv_x
+    f_pair = (wall_visc_factor * mu * ebe * geom.dw * vol_v[:, None, :] * dv_x
               / (geom.r + 0.01 * spec.h)
               * vol_a[:, :, None]) * geom.mask_w
     tau_bottom = -jnp.sum(f_pair * lay.wbot_v[:, None, :]) / spec.DL
@@ -441,7 +442,8 @@ def cell_wall_shear(spec: GridSpec, lay: CellLayout, geom: CellGeometry,
 
 def cell_step_pallas(spec: GridSpec, lay: CellLayout, mass, x, y, vx, vy,
                      drho_dt, dt, rho0: float, p0: float, c_f: float,
-                     inv_sigma0: float, transport_coeff: float, g, mu):
+                     inv_sigma0: float, transport_coeff: float, g, mu,
+                     wall_visc_factor: float = 4.0):
     """Pallas-fused variant of ``cell_step``: each pair phase (density,
     KGC, viscous+shifting+pressure, continuity) runs as one fused kernel
     (ops/pallas_kernels.py) that recomputes pair geometry in VMEM — no
@@ -531,7 +533,7 @@ def cell_step_pallas(spec: GridSpec, lay: CellLayout, mass, x, y, vx, vy,
         (xv, yv, lay.pidf_v, lay.valid_v, lay.isf_v, vol_v,
          b11_v, b12_v, b21_v, b22_v, vxv, vyv, rho_half_v, p_half_v,
          lay.wvx_v, lay.wvy_v),
-        mu, rho0, c_f, g)
+        mu, rho0, c_f, g, wall_visc_factor)
     fpx_a = jnp.where(af > 0, acc_x * vol_a + mass_a * g, 0.0)
     fpy_a = jnp.where(af > 0, acc_y * vol_a, 0.0)
     limiter = jnp.clip(100.0 * (inc_x * inc_x + inc_y * inc_y) / (h * h),
@@ -583,7 +585,8 @@ def cell_step_pallas(spec: GridSpec, lay: CellLayout, mass, x, y, vx, vy,
 
 
 def cell_wall_shear_pallas(spec: GridSpec, lay: CellLayout, x, y, vx, vol,
-                           b11, b12, b21, b22, mu):
+                           b11, b12, b21, b22, mu,
+                           wall_visc_factor: float = 4.0):
     """Pallas twin of ``cell_wall_shear`` on a (freshly rebuilt) layout:
     one packed scatter + one fused kernel."""
     from . import pallas_kernels as pk
@@ -595,5 +598,5 @@ def cell_wall_shear_pallas(spec: GridSpec, lay: CellLayout, x, y, vx, vol,
     tb, tt = pk.wallshear_phase(
         spec, (xa, ya, lay.pidf_a, vxa, vol_a, b11_a, b12_a, b21_a, b22_a),
         (xv, yv, lay.pidf_v, lay.valid_v, lay.isf_v, vol_v, lay.wvx_v,
-         lay.wbot_v, lay.wtop_v), mu)
+         lay.wbot_v, lay.wtop_v), mu, wall_visc_factor)
     return -jnp.sum(tb) / spec.DL, -jnp.sum(tt) / spec.DL

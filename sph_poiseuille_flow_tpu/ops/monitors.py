@@ -21,14 +21,14 @@ from .neighbors import Candidates, Geometry, GridSpec
 
 def wall_shear(spec: GridSpec, geom: Geometry, cands: Candidates,
                vx, vol, b11, b12, b21, b22, DL: float,
-               mu, h: float):
+               mu, h: float, wall_visc_factor: float = 4.0):
     """Returns (tau_bottom, tau_top) scalars."""
     nf = spec.n_fluid
     ex, ey = geom.ex, geom.ey
     ebe = (ex * (b11[:nf][:, None] * ex + b12[:nf][:, None] * ey)
            + ey * (b21[:nf][:, None] * ex + b22[:nf][:, None] * ey))
     dv_x = vx[:nf][:, None] - cands.wvx_j
-    f_pair = (4.0 * mu * ebe * geom.dw * geom.vol_j * dv_x
+    f_pair = (wall_visc_factor * mu * ebe * geom.dw * geom.vol_j * dv_x
               / (geom.r + 0.01 * h) * vol[:nf][:, None]) * geom.mask_w
     tau_bottom = -jnp.sum(f_pair * cands.wall_bot) / DL
     tau_top = -jnp.sum(f_pair * cands.wall_top) / DL

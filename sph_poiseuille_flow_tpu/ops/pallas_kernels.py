@@ -170,7 +170,7 @@ def _forces_body(*refs, spec, n_a, scalars):
     prior acceleration (viscous + gravity, sph_physics_mex.c:931-934) —
     computed in-kernel from the viscous reduction before the pressure pair
     terms."""
-    mu, rho0, c_f, g = scalars
+    mu, rho0, c_f, g, wf = scalars
     h = spec.h
     (xa, ya, pida, b11a, b12a, b21a, b22a, vxa, vya, rhoha, pha, vola,
      massa) = (r[...] for r in refs[:13])
@@ -198,7 +198,7 @@ def _forces_body(*refs, spec, n_a, scalars):
     vxc = vxa[:, :, None]
     vyc = vya[:, :, None]
     cf_pair = ebe_f * mu * dw * vol_b / denom_r * m1
-    cw_pair = 4.0 * ebe_w * mu * dw * vol_b / denom_r * mw
+    cw_pair = wf * ebe_w * mu * dw * vol_b / denom_r * mw
     acc_x = jnp.sum(cf_pair * (vxc - vxv[:, None, :])
                     + cw_pair * (vxc - wvxv[:, None, :]), axis=2)
     acc_y = jnp.sum(cf_pair * (vyc - vyv[:, None, :])
@@ -239,13 +239,13 @@ def _forces_body(*refs, spec, n_a, scalars):
 
 
 def forces_phase(spec: GridSpec, a_fields, v_fields, mu, rho0: float,
-                 c_f: float, g):
+                 c_f: float, g, wall_visc_factor: float = 4.0):
     """a_fields = (xa, ya, pida, b11a, b12a, b21a, b22a, vxa, vya, rho_half,
     p_half, vol_a, mass_a); v_fields = (xv, yv, pidv, validv, isfv, volv,
     b11v..b22v, vxv, vyv, rho_half_v, p_half_v, wvxv, wvyv).
     Returns (acc_x, acc_y, inc_x, inc_y, pacc_x, pacc_y), each (S, K)."""
     return _phase_call(_forces_body, spec, a_fields, v_fields, 6,
-                       scalars=(mu, rho0, c_f, g))
+                       scalars=(mu, rho0, c_f, g, wall_visc_factor))
 
 
 # ---------------------------------------------------------------------------
@@ -281,7 +281,7 @@ def continuity_phase(spec: GridSpec, a_fields, v_fields):
 # ---------------------------------------------------------------------------
 
 def _wallshear_body(*refs, spec, n_a, scalars):
-    (mu,) = scalars
+    mu, wf = scalars
     xa, ya, pida, vxa, vola, b11a, b12a, b21a, b22a = (
         r[...] for r in refs[:9])
     (xv, yv, pidv, validv, isfv, volv, wvxv, wbotv, wtopv) = (
@@ -293,15 +293,16 @@ def _wallshear_body(*refs, spec, n_a, scalars):
     ebe = (ex * (b11a[:, :, None] * ex + b12a[:, :, None] * ey)
            + ey * (b21a[:, :, None] * ex + b22a[:, :, None] * ey))
     dv_x = vxa[:, :, None] - wvxv[:, None, :]
-    f_pair = (4.0 * mu * ebe * dw * volv[:, None, :] * dv_x
+    f_pair = (wf * mu * ebe * dw * volv[:, None, :] * dv_x
               / (r + 0.01 * spec.h) * vola[:, :, None]) * mw
     o_tb[...] = jnp.sum(f_pair * wbotv[:, None, :], axis=2)
     o_tt[...] = jnp.sum(f_pair * wtopv[:, None, :], axis=2)
 
 
-def wallshear_phase(spec: GridSpec, a_fields, v_fields, mu):
+def wallshear_phase(spec: GridSpec, a_fields, v_fields, mu,
+                    wall_visc_factor: float = 4.0):
     """a_fields = (xa, ya, pida, vxa, vola, b11a..b22a); v_fields = (xv, yv,
     pidv, validv, isfv, volv, wvxv, wbotv, wtopv). Returns per-slot partial
     sums (tau_bot_sum, tau_top_sum); tau = -sum(...)/DL on the caller."""
     return _phase_call(_wallshear_body, spec, a_fields, v_fields, 2,
-                       scalars=(mu,))
+                       scalars=(mu, wall_visc_factor))

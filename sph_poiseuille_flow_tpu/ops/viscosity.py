@@ -25,7 +25,7 @@ from .neighbors import Candidates, Geometry, GridSpec
 def viscous_force(spec: GridSpec, geom: Geometry, cands: Candidates,
                   vx, vy, vol, b11, b12, b21, b22,
                   vol_j, b11_j, b12_j, b21_j, b22_j, vx_j, vy_j,
-                  mu, h: float):
+                  mu, h: float, wall_visc_factor: float = 4.0):
     """Returns (fx, fy), shape (n_total,); wall rows are zero."""
     nf = spec.n_fluid
     n_wall = spec.n_total - nf
@@ -49,7 +49,8 @@ def viscous_force(spec: GridSpec, geom: Geometry, cands: Candidates,
 
     # fluid-wall: one-sided, B_i only, 4x no-slip factor
     ebe_w = ex * (b11i * ex + b12i * ey) + ey * (b21i * ex + b22i * ey)
-    coeff_w = 4.0 * ebe_w * mu * geom.dw * vol_j / denom * geom.mask_w
+    coeff_w = (wall_visc_factor * ebe_w * mu * geom.dw * vol_j / denom
+               * geom.mask_w)
 
     acc_x = jnp.sum(coeff_f * (vxi - vx_j) + coeff_w * (vxi - cands.wvx_j),
                     axis=1)

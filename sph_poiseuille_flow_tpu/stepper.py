@@ -162,7 +162,8 @@ class Engine:
 
         fpx, fpy = viscous_force(
             spec, geom, cands, state.vx, state.vy, vol, b11, b12, b21, b22,
-            vol_j, b11_j, b12_j, b21_j, b22_j, vx_j, vy_j, mu, cfg.h)
+            vol_j, b11_j, b12_j, b21_j, b22_j, vx_j, vy_j, mu, cfg.h,
+            cfg.wall_visc_factor)
         fpx = fpx.at[:nf].add(self._mass[:nf] * g)
 
         x, y = transport_correction(
@@ -202,7 +203,7 @@ class Engine:
 
         tau_bottom, tau_top = wall_shear(
             spec, geom, cands, vx2, vol, b11, b12, b21, b22, cfg.DL, mu,
-            cfg.h)
+            cfg.h, cfg.wall_visc_factor)
 
         new_state = State(x=x, y=y, vx=vx2, vy=vy2, rho=rho, p=p,
                           drho_dt=drho_dt, fx=fx, fy=fy, fpx=fpx, fpy=fpy,
@@ -312,7 +313,8 @@ class CellEngine:
         out = cg.cell_step(
             spec, lay, geom, self._mass, state.x, state.y, state.vx,
             state.vy, state.drho_dt, dt, cfg.rho0, cfg.p0, cfg.c_f,
-            cfg.inv_sigma0, cfg.transport_coeff, g, mu)
+            cfg.inv_sigma0, cfg.transport_coeff, g, mu,
+            cfg.wall_visc_factor)
 
         x = periodic_wrap(spec, out["x"])
         y = out["y"]
@@ -330,7 +332,7 @@ class CellEngine:
 
         tau_bottom, tau_top = cg.cell_wall_shear(
             spec, lay, geom, out["vx"], out["vol"], out["b11"], out["b12"],
-            out["b21"], out["b22"], mu)
+            out["b21"], out["b22"], mu, cfg.wall_visc_factor)
 
         new_state = State(
             x=x, y=y, vx=out["vx"], vy=out["vy"], rho=out["rho"],
@@ -357,7 +359,8 @@ class CellEngine:
             spec, lay, geom, self._mass, state.x, state.y, state.vx,
             state.vy, jnp.zeros_like(state.drho_dt),
             jnp.asarray(0.0, state.x.dtype), cfg.rho0, cfg.p0, cfg.c_f,
-            cfg.inv_sigma0, 0.0, cfg.gravity_g, cfg.mu)
+            cfg.inv_sigma0, 0.0, cfg.gravity_g, cfg.mu,
+            cfg.wall_visc_factor)
         z = jnp.zeros_like(state.drho_dt)
         state = state._replace(
             rho=out["rho"], p=out["p"], vol=out["vol"], b11=out["b11"],
@@ -425,7 +428,7 @@ class PallasCellEngine(CellEngine):
         out = cg.cell_step_pallas(
             spec, lay, self._mass, state.x, state.y, state.vx, state.vy,
             state.drho_dt, dt, cfg.rho0, cfg.p0, cfg.c_f, cfg.inv_sigma0,
-            cfg.transport_coeff, g, mu)
+            cfg.transport_coeff, g, mu, cfg.wall_visc_factor)
 
         x = periodic_wrap(spec, out["x"])
         y = out["y"]
@@ -442,7 +445,7 @@ class PallasCellEngine(CellEngine):
 
         tau_bottom, tau_top = cg.cell_wall_shear_pallas(
             spec, lay, x, y, out["vx"], out["vol"], out["b11"], out["b12"],
-            out["b21"], out["b22"], mu)
+            out["b21"], out["b22"], mu, cfg.wall_visc_factor)
 
         new_state = State(
             x=x, y=y, vx=out["vx"], vy=out["vy"], rho=out["rho"],
@@ -461,7 +464,8 @@ class PallasCellEngine(CellEngine):
             spec, lay, self._mass, state.x, state.y, state.vx, state.vy,
             jnp.zeros_like(state.drho_dt),
             jnp.asarray(0.0, state.x.dtype), cfg.rho0, cfg.p0, cfg.c_f,
-            cfg.inv_sigma0, 0.0, cfg.gravity_g, cfg.mu)
+            cfg.inv_sigma0, 0.0, cfg.gravity_g, cfg.mu,
+            cfg.wall_visc_factor)
         z = jnp.zeros_like(state.drho_dt)
         state = state._replace(
             rho=out["rho"], p=out["p"], vol=out["vol"], b11=out["b11"],
