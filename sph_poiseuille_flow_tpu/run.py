@@ -47,6 +47,10 @@ def main(argv=None) -> int:
                         help="candidate-list rebuild cadence in steps "
                              "(requires a neighbor skin covering the "
                              "displacement between rebuilds)")
+    parser.add_argument("--wall-visc-factor", type=float, default=4.0,
+                        help="one-sided wall viscous factor (4.0 = the "
+                             "reference's hard-coded calibration; ~4.3 "
+                             "cancels the bulk wall-slip bias)")
     parser.add_argument("--postprocess-only", metavar="NPZ", default=None,
                         help="run only the postprocess stage on an existing "
                              "handoff file")
@@ -69,7 +73,8 @@ def main(argv=None) -> int:
     cfg = load_config(
         config_path, engine=args.engine, dtype=args.dtype,
         cell_capacity=args.cell_capacity,
-        neighbor_skin=args.neighbor_skin, rebuild_every=args.rebuild_every)
+        neighbor_skin=args.neighbor_skin, rebuild_every=args.rebuild_every,
+        wall_visc_factor=args.wall_visc_factor)
     if args.sweep_mus:
         from .parallel import make_workloads, run_sweep
         mus = [float(v) for v in args.sweep_mus.split(",") if v.strip()]

@@ -172,3 +172,34 @@ def test_cellgrid_overflow_flag():
     cg = CellEngine(cfg, scene)
     _, lay, _, overflow = cg.init(initial_state(cfg, scene))
     assert bool(overflow)
+
+
+def test_wall_visc_factor_knob():
+    """A larger one-sided wall factor must strengthen the wall viscous drag
+    (default 4.0 is reference-exact and covered by the oracle tests)."""
+    import jax.numpy as jnp
+    cfg4 = default_cfg(DL=1.0, DH=0.5, dp=0.05, end_time=0.5)
+    cfg5 = default_cfg(DL=1.0, DH=0.5, dp=0.05, end_time=0.5,
+                       wall_visc_factor=5.0)
+    scene = build_scene(cfg4)
+    state0 = initial_state(cfg4, scene)
+    nf = scene.n_fluid
+    # give the fluid a uniform +x velocity so the wall term is active
+    vx = np.zeros(scene.n_total, np.float32)
+    vx[:nf] = 0.5
+    state0 = state0._replace(vx=jnp.asarray(vx))
+
+    outs = {}
+    for name, cfg in (("f4", cfg4), ("f5", cfg5)):
+        eng = CellEngine(cfg, scene)
+        s, l, g, _ = eng.init(state0)
+        out = eng.step(s, l, g, remain=1.0)
+        outs[name] = out
+    # stronger factor -> more negative viscous force on near-wall fluid
+    fpx4 = np.asarray(outs["f4"][0].fpx[:nf])
+    fpx5 = np.asarray(outs["f5"][0].fpx[:nf])
+    yf = scene.y[:nf]
+    near_wall = (yf < 2 * cfg4.h) | (yf > cfg4.DH - 2 * cfg4.h)
+    assert fpx5[near_wall].sum() < fpx4[near_wall].sum()
+    # and the wall-shear monitor scales with it
+    assert float(outs["f5"][5]) > float(outs["f4"][5])
