@@ -220,9 +220,13 @@ def derive_config(
     )
 
 
-def load_config(path: str, **engine_kwargs) -> SPHConfig:
-    """Load + derive a config from an INI file path."""
+def load_config(path: str, ini_overrides=None, **engine_kwargs) -> SPHConfig:
+    """Load + derive a config from an INI file path. ``ini_overrides`` is a
+    nested {section: {key: value}} dict applied over the parsed file (the
+    CLI's --set mechanism)."""
     ini = parse_ini(path)
+    for section, kv in (ini_overrides or {}).items():
+        ini.setdefault(section, {}).update(kv)
     return derive_config(
         DL=get_ini_numeric(ini, "physical", "DL"),
         DH=get_ini_numeric(ini, "physical", "DH"),

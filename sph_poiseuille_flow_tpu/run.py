@@ -57,6 +57,11 @@ def main(argv=None) -> int:
     parser.add_argument("--profile", metavar="DIR", default=None,
                         help="capture a JAX/XLA profiler trace of the run "
                              "into DIR (view with TensorBoard/xprof)")
+    parser.add_argument("--set", metavar="SECTION.KEY=VALUE", default=[],
+                        action="append", dest="overrides",
+                        help="override a config.ini value, e.g. "
+                             "--set physical.dp=0.025 "
+                             "--set simulation.end_time=1.5 (repeatable)")
     parser.add_argument("--sweep-mus", metavar="MU1,MU2,...", default=None,
                         help="run a vmapped multi-workload sweep over these "
                              "viscosities (g derived per workload to keep "
@@ -70,11 +75,20 @@ def main(argv=None) -> int:
 
     config_path = args.config or env_override(
         "SPH_CONFIG_OVERRIDE", os.path.join(args.base_dir, "config.ini"))
+    ini_overrides = {}
+    for item in args.overrides:
+        try:
+            key, value = item.split("=", 1)
+            section, name = key.split(".", 1)
+        except ValueError:
+            parser.error(f"--set expects SECTION.KEY=VALUE, got {item!r}")
+        ini_overrides.setdefault(section, {})[name] = float(value)
     cfg = load_config(
         config_path, engine=args.engine, dtype=args.dtype,
         cell_capacity=args.cell_capacity,
         neighbor_skin=args.neighbor_skin, rebuild_every=args.rebuild_every,
-        wall_visc_factor=args.wall_visc_factor)
+        wall_visc_factor=args.wall_visc_factor,
+        ini_overrides=ini_overrides)
     if args.sweep_mus:
         from .parallel import make_workloads, run_sweep
         mus = [float(v) for v in args.sweep_mus.split(",") if v.strip()]
