@@ -1,0 +1,43 @@
+"""CLI smoke test: drive the real command-line surface end to end on a
+tiny preset (subprocess, CPU platform)."""
+
+import os
+import subprocess
+import sys
+
+
+def test_cli_end_to_end(tmp_path):
+    ini = tmp_path / "tiny.ini"
+    ini.write_text(
+        "[physical]\nDL = 1.0\nDH = 0.5\ndp = 0.05\nrho0 = 1.0\nmu = 0.4\n"
+        "U_bulk = 0.666667\nc_f = 15.0\n"
+        "[simulation]\nend_time = 0.2\noutput_interval = 0.1\n"
+        "sort_interval = 100\nrestart_from_file = 0\n")
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        PALLAS_AXON_POOL_IPS="",
+        SPH_RESULT_PNG_OVERRIDE=str(tmp_path / "r.png"),
+        SPH_PROFILE_PNG_OVERRIDE=str(tmp_path / "p.png"),
+        SPH_POSTPROCESS_MAT_OVERRIDE=str(tmp_path / "post.npz"),
+        SPH_RESTART_PATH_OVERRIDE=str(tmp_path / "restart.npz"),
+    )
+    r = subprocess.run(
+        [sys.executable, "-m", "sph_poiseuille_flow_tpu.run",
+         "--config", str(ini), "--set", "physical.mu=0.4"],
+        env=env, capture_output=True, text=True, timeout=300,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert "L2 relative error" in r.stdout, r.stdout + r.stderr
+    assert "throughput" in r.stdout
+    # a 0.2 s run is undeveloped: the verdict must be FAILED with exit 1
+    assert "validation FAILED" in r.stdout
+    assert r.returncode == 1
+    assert (tmp_path / "r.png").exists()
+    assert (tmp_path / "restart.npz").exists()
+
+    # standalone postprocess entry point on the produced handoff
+    r2 = subprocess.run(
+        [sys.executable, "-m", "sph_poiseuille_flow_tpu.run",
+         "--postprocess-only", str(tmp_path / "post.npz")],
+        env=env, capture_output=True, text=True, timeout=120)
+    assert "L2 relative error" in r2.stdout
