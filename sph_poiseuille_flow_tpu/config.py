@@ -137,6 +137,10 @@ class SPHConfig:
     # calibration (sph_physics_mex.c:383-388, 526); adjustable to calibrate
     # out the first-order wall-slip bias of the scheme
     wall_visc_factor: float = 4.0
+    # in-loop step log cadence (0 = off): emits the reference's per-step
+    # log line (step/dt/vmax/tau, SPH_Poiseuille.m:285-291) from inside the
+    # device loop via jax.debug.print — costs host syncs, debugging only
+    step_log_every: int = 0
 
     @property
     def signature(self) -> str:

@@ -47,6 +47,10 @@ def main(argv=None) -> int:
                         help="candidate-list rebuild cadence in steps "
                              "(requires a neighbor skin covering the "
                              "displacement between rebuilds)")
+    parser.add_argument("--step-log-every", type=int, default=0,
+                        help="emit the reference's per-step log line every "
+                             "N steps from inside the device loop "
+                             "(0 = off; costs host syncs)")
     parser.add_argument("--wall-visc-factor", type=float, default=4.0,
                         help="one-sided wall viscous factor (4.0 = the "
                              "reference's hard-coded calibration; ~4.3 "
@@ -88,7 +92,7 @@ def main(argv=None) -> int:
         cell_capacity=args.cell_capacity,
         neighbor_skin=args.neighbor_skin, rebuild_every=args.rebuild_every,
         wall_visc_factor=args.wall_visc_factor,
-        ini_overrides=ini_overrides)
+        step_log_every=args.step_log_every, ini_overrides=ini_overrides)
     if args.sweep_mus:
         from .parallel import make_workloads, run_sweep
         mus = [float(v) for v in args.sweep_mus.split(",") if v.strip()]

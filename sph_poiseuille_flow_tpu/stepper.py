@@ -334,6 +334,19 @@ class CellEngine:
             spec, lay, geom, out["vx"], out["vol"], out["b11"], out["b12"],
             out["b21"], out["b22"], mu, cfg.wall_visc_factor)
 
+        if cfg.step_log_every > 0:
+            # reference per-step log schema (SPH_Poiseuille.m:285-291)
+            vmax = jnp.sqrt(jnp.max(out["vx"][:nf] ** 2
+                                    + out["vy"][:nf] ** 2))
+            jax.lax.cond(
+                (step_idx + 1) % cfg.step_log_every == 0,
+                lambda: jax.debug.print(
+                    "step={s}, dt={dt:.4e}, vmax={v:.4f} | "
+                    "tau_bot={tb:.4f}, tau_top={tt:.4f}, tau_target={tg:.4f}",
+                    s=step_idx + 1, dt=dt, v=vmax, tb=tau_bottom,
+                    tt=tau_top, tg=cfg.tau_target),
+                lambda: None)
+
         new_state = State(
             x=x, y=y, vx=out["vx"], vy=out["vy"], rho=out["rho"],
             p=out["p"], drho_dt=out["drho_dt"], fx=out["fx"], fy=out["fy"],

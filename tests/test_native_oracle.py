@@ -146,3 +146,14 @@ def test_native_vs_jax_engine_step(setup):
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(fx_j), force_cc[:, 0], rtol=1e-3,
                                atol=1e-5)
+
+
+def test_oracle_full_simulation_smoke():
+    """The C++ oracle as a full simulator (tests/run_oracle_sim.py) must
+    run a short case and produce finite, developing flow."""
+    import run_oracle_sim
+    l2, uy = run_oracle_sim.run(dp=0.05, end_time=0.3, output_interval=0.3,
+                                log=lambda s: None)
+    assert np.isfinite(l2) and np.isfinite(uy)
+    assert 0 < l2 < 1.0          # undeveloped flow: large but finite L2
+    assert uy < 0.2
