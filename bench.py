@@ -36,8 +36,8 @@ def main(dp: float = 0.025, n_timed_intervals: int = 2,
         end_time=20.0, output_interval=interval, sort_interval=100,
         restart_from_file=False,
         # skin-based candidate reuse: identical pair sets to every-step
-        # rebuild (runtime displacement guard -> overflow flag), ~2x faster
-        neighbor_skin=0.75 * dp, rebuild_every=4,
+        # rebuild (runtime displacement guard -> overflow flag), ~1.4x faster
+        neighbor_skin=0.75 * dp, rebuild_every=8,
         cell_capacity=24, neighbor_capacity=56)
     scene = build_scene(cfg)
     engine = make_engine(cfg, scene)
