@@ -155,14 +155,16 @@ def build_layout(spec: GridSpec, x, y, mass, wall_vx, wall_vy,
 
 
 class CellGeometry(NamedTuple):
-    """Per-step pair geometry: (S, K, 9K) blocks masked at the true cutoff."""
+    """Per-step pair geometry: (S, K, 9K) blocks masked at the true cutoff.
 
-    dx: jnp.ndarray
-    dy: jnp.ndarray
+    Deliberately slim — the step is HBM-bound on these blocks, so only the
+    irreducible fields are materialized; consumers reconstruct dx = r*ex,
+    dy = r*ey and the kernel value W from r (cheap VPU math vs ~15 MB of
+    HBM round-trip per dropped field at dp=0.025)."""
+
     r: jnp.ndarray
     ex: jnp.ndarray
     ey: jnp.ndarray
-    w: jnp.ndarray
     dw: jnp.ndarray
     mask_f: jnp.ndarray
     mask_w: jnp.ndarray
@@ -181,16 +183,15 @@ def compute_geometry(spec: GridSpec, lay: CellLayout, x, y) -> CellGeometry:
              & (lay.pid_a[:, :, None] != lay.pid_v[:, None, :])
              & (r2 < spec.cutoff * spec.cutoff) & (r2 > 1e-24))
     r = jnp.sqrt(jnp.where(valid, r2, 1.0))
-    w, dw = cubic_spline(r, spec.h)
+    _, dw = cubic_spline(r, spec.h)
     fvalid = valid.astype(x.dtype)
     inv_r = 1.0 / r
     return CellGeometry(
-        dx=dx * fvalid, dy=dy * fvalid, r=r,
+        r=r,
         ex=dx * inv_r * fvalid, ey=dy * inv_r * fvalid,
-        w=w * fvalid, dw=dw * fvalid,
+        dw=dw * fvalid,
         mask_f=fvalid * lay.isf_v[:, None, :],
-        mask_w=fvalid * (1.0 - lay.isf_v[:, None, :])
-        * lay.valid_v[:, None, :])
+        mask_w=fvalid * (1.0 - lay.isf_v[:, None, :]))
 
 
 def displacement_exceeded(spec: GridSpec, lay: CellLayout, x, y):
@@ -229,7 +230,10 @@ def cell_step(spec: GridSpec, lay: CellLayout, geom: CellGeometry,
     af = lay.a_fluid  # (S, K) 1.0 for fluid-occupied slots
     m1 = geom.mask_f  # (S, K, 9K)
     mw = geom.mask_w
-    ex, ey, r, wk, dwk = geom.ex, geom.ey, geom.r, geom.w, geom.dw
+    ex, ey, r, dwk = geom.ex, geom.ey, geom.r, geom.dw
+    # W is recomputed from r (masking comes from m1/mw in every use site);
+    # dropping it from CellGeometry saves an (S, K, 9K) HBM round-trip
+    wk, _ = cubic_spline(r, h)
 
     # carried state into layout (one packed scatter); mass is static
     # per rebuild and lives in the layout
@@ -256,11 +260,14 @@ def cell_step(spec: GridSpec, lay: CellLayout, geom: CellGeometry,
     vol_vb = vol_v[:, None, :]
 
     # ---- kernel gradient correction (sph_physics_mex.c:239-365) ----
-    f = dwk * vol_vb * (m1 + mw)
-    a11 = -jnp.sum(geom.dx * f * ex, axis=2)
-    a12 = -jnp.sum(geom.dx * f * ey, axis=2)
-    a21 = -jnp.sum(geom.dy * f * ex, axis=2)
-    a22 = -jnp.sum(geom.dy * f * ey, axis=2)
+    # dx = r*ex, dy = r*ey, so A = -sum r*f*(e (x) e) is symmetric and the
+    # off-diagonal is accumulated once (the reference computes dx*f*ey and
+    # dy*f*ex separately, sph_physics_mex.c:286-297 — analytically equal)
+    rf = r * dwk * vol_vb * (m1 + mw)
+    a11 = -jnp.sum(rf * ex * ex, axis=2)
+    a12 = -jnp.sum(rf * ex * ey, axis=2)
+    a21 = a12
+    a22 = -jnp.sum(rf * ey * ey, axis=2)
     ata11 = a11 * a11 + a21 * a21 + EPS_REG
     ata12 = a11 * a12 + a21 * a22
     ata22 = a12 * a12 + a22 * a22 + EPS_REG

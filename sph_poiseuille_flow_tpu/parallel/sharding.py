@@ -93,7 +93,7 @@ class ShardedEngine:
             out_shardings=IntervalResult(
                 state=state_shardings, cands=cands_sh, geom=geom_sh,
                 tau_bottom=repl, tau_top=repl, n_steps=repl, overflow=repl,
-                v_max=repl, n_pairs=repl))
+                skin_guard=repl, v_max=repl, n_pairs=repl))
 
     def init(self, state: State):
         with self.mesh:
@@ -152,7 +152,7 @@ class ShardedCellEngine:
             out_shardings=IntervalResult(
                 state=state_sh, cands=lay_sh, geom=geom_sh,
                 tau_bottom=repl, tau_top=repl, n_steps=repl, overflow=repl,
-                v_max=repl, n_pairs=repl))
+                skin_guard=repl, v_max=repl, n_pairs=repl))
 
     def init(self, state: State):
         with self.mesh:

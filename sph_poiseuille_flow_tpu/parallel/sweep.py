@@ -72,6 +72,9 @@ def run_sweep(cfg: SPHConfig, gs, mus, log=print) -> dict:
         wall += time.perf_counter() - t0
         if bool(jnp.any(res.overflow)):
             raise RuntimeError("neighbor cell capacity exceeded in sweep")
+        if bool(jnp.any(res.skin_guard)):
+            raise RuntimeError("neighbor skin guard tripped in sweep; "
+                               "reduce rebuild_every")
         states, cands, geom = res.state, res.cands, res.geom
         steps = int(jnp.sum(res.n_steps))
         total_steps += steps

