@@ -36,9 +36,16 @@ def main(dp: float = 0.025, n_timed_intervals: int = 2,
         end_time=20.0, output_interval=interval, sort_interval=100,
         restart_from_file=False,
         # skin-based candidate reuse: identical pair sets to every-step
-        # rebuild (runtime displacement guard -> overflow flag), ~1.4x faster
+        # rebuild (runtime displacement guard -> skin_guard flag).
+        # cell_capacity K multiplies every (S, K, 9K) pair block; K=18 is
+        # the tightest capacity that survives the FULL 20 s validation run
+        # (the pristine lattice fits 16, but developed-flow compression
+        # reaches 17-18; 16 overflows at t~7). Tighter skins measure
+        # faster over short windows but trip the displacement guard late
+        # in the run once shifting displacement is added to advection —
+        # this exact combo passes 20 s end-to-end (L2 0.81%).
         neighbor_skin=0.75 * dp, rebuild_every=8,
-        cell_capacity=24, neighbor_capacity=56)
+        cell_capacity=18, neighbor_capacity=56)
     scene = build_scene(cfg)
     engine = make_engine(cfg, scene)
     state = initial_state(cfg, scene)
