@@ -203,3 +203,27 @@ def test_wall_visc_factor_knob():
     assert fpx5[near_wall].sum() < fpx4[near_wall].sum()
     # and the wall-shear monitor scales with it
     assert float(outs["f5"][6]) > float(outs["f4"][6])
+
+
+def test_interval_tail_tau_matches_inloop_monitor(engines):
+    """The interval-final tau computed AFTER the while loop (monitor
+    statically dropped from the body when step_log_every == 0) must equal
+    the tau of a run whose body computes the monitor every step
+    (step_log_every > 0) — i.e. the tail recompute is value-identical to
+    the reference's final in-loop wall_shear_monitor."""
+    cfg0, scene, _, _, state0 = engines
+    cfg_tail = dataclasses.replace(cfg0, step_log_every=0)
+    cfg_loop = dataclasses.replace(cfg0, step_log_every=10 ** 9)
+    taus = {}
+    for name, cfg in (("tail", cfg_tail), ("loop", cfg_loop)):
+        eng = CellEngine(cfg, scene)
+        s, l, g, ov = eng.init(state0)
+        assert not bool(ov)
+        r = eng.run_interval(s, l, g, np.float32(0.25))
+        taus[name] = (float(r.tau_bottom), float(r.tau_top),
+                      int(r.n_steps))
+    assert taus["tail"][2] == taus["loop"][2]
+    assert taus["tail"][0] == pytest.approx(taus["loop"][0], rel=1e-6,
+                                            abs=1e-9)
+    assert taus["tail"][1] == pytest.approx(taus["loop"][1], rel=1e-6,
+                                            abs=1e-9)
