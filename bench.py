@@ -67,6 +67,7 @@ def main(dp: float = 0.025, n_timed_intervals: int = 2,
         steps += int(res.n_steps)
     elapsed = time.perf_counter() - t0
     assert not bool(res.overflow), "neighbor cell overflow during bench"
+    assert not bool(res.skin_guard), "skin displacement guard tripped"
 
     psps = steps * scene.n_fluid / elapsed
     out = {
