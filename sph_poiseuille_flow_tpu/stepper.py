@@ -88,6 +88,21 @@ class IntervalResult(NamedTuple):
     n_pairs: jnp.ndarray        # reference-convention pair count
 
 
+def _t_add(t, comp, dt):
+    """Kahan-compensated interval clock ``t += dt``.
+
+    Interval-local time is O(1) while dt is O(1e-4..1e-3); bare f32
+    accumulation drifts the per-interval step count by +-1 depending on
+    interval length. Compensated summation keeps the clock exact to one
+    ulp at zero carry cost, so the loop can terminate on ``t < interval``
+    with a true remainder step — the reference's exact semantics
+    (SPH_Poiseuille.m:250, :259, :267: dt = min(..., target - t), final
+    step lands exactly on the output point)."""
+    y = dt - comp
+    s = t + y
+    return s, (s - t) - y
+
+
 def initial_state(cfg: SPHConfig, scene: Scene) -> State:
     dtype = jnp.dtype(cfg.dtype)
     n = scene.n_total
@@ -121,9 +136,6 @@ class Engine:
         self._mass = jnp.asarray(scene.mass, dtype)
         self._wall_vx = jnp.zeros((scene.n_total,), dtype)
         self._wall_vy = jnp.zeros((scene.n_total,), dtype)
-        # time-accumulation epsilon: interval-local time is O(1), so f32
-        # resolution is ~1e-7; 1e-6 cleanly terminates the while loop
-        self._eps_t = 1e-6
         self.init = jax.jit(self._init)
         self.run_interval = jax.jit(self._run_interval)
 
@@ -237,28 +249,31 @@ class Engine:
 
     # ---- full inner loop to the next output point ----
     def _run_interval(self, state: State, cands, geom, interval_len,
-                      g=None, mu=None):
+                      g=None, mu=None, t_base=None, step_base=None):
+        # t_base/step_base: global-time/step offsets, accepted for API
+        # symmetry with CellEngine (this engine has no in-loop log)
         dtype = state.x.dtype
         interval_len = jnp.asarray(interval_len, dtype)
 
         def cond(carry):
             _, _, _, t_local, *_ = carry
-            return t_local < interval_len - self._eps_t
+            return t_local < interval_len
 
         def body(carry):
-            (state, cands, geom, t_local, n_steps, overflow, guard,
+            (state, cands, geom, t_local, t_comp, n_steps, overflow, guard,
              tau_b, tau_t) = carry
             remain = interval_len - t_local
             state, cands, geom, dt, ovf, grd, tau_b, tau_t = self._step(
                 state, cands, geom, n_steps, remain, g, mu)
-            return (state, cands, geom, t_local + dt, n_steps + 1,
+            t_local, t_comp = _t_add(t_local, t_comp, dt)
+            return (state, cands, geom, t_local, t_comp, n_steps + 1,
                     overflow | ovf, guard | grd, tau_b, tau_t)
 
         zero = jnp.asarray(0.0, dtype)
         false = jnp.asarray(False)
-        carry = (state, cands, geom, zero, jnp.asarray(0, jnp.int32),
+        carry = (state, cands, geom, zero, zero, jnp.asarray(0, jnp.int32),
                  false, false, zero, zero)
-        (state, cands, geom, _, n_steps, overflow, guard,
+        (state, cands, geom, _, _, n_steps, overflow, guard,
          tau_b, tau_t) = jax.lax.while_loop(cond, body, carry)
 
         nf = self.spec.n_fluid
@@ -291,7 +306,6 @@ class CellEngine:
         self._wall_vx = jnp.zeros((scene.n_total,), dtype)
         self._wall_vy = jnp.zeros((scene.n_total,), dtype)
         self._wall_y = jnp.asarray(scene.y, dtype)  # wall positions static
-        self._eps_t = 1e-6
         self.init = jax.jit(self._init)
         self.run_interval = jax.jit(self._run_interval)
 
@@ -304,7 +318,7 @@ class CellEngine:
         return self._cg.count_pairs(lay, geom)
 
     def _step(self, state: State, lay, geom, step_idx, remain,
-              g=None, mu=None, tau_prev=None):
+              g=None, mu=None, tau_prev=None, log_base=None):
         cfg, spec, cg = self.cfg, self.spec, self._cg
         g = cfg.gravity_g if g is None else g
         mu = cfg.mu if mu is None else mu
@@ -349,15 +363,28 @@ class CellEngine:
             tau_bottom, tau_top = tau_prev
 
         if cfg.step_log_every > 0:
-            # reference per-step log schema (SPH_Poiseuille.m:285-291)
+            # reference per-step log schema (SPH_Poiseuille.m:285-291):
+            # step, t/t_end, dt, pairs, vmax + the thick-wall tau line.
+            # log_base = (global time BEFORE this step, global step index
+            # BEFORE this step) so the printed values are post-step/global
+            # like the reference's (state.t and state.step are updated
+            # before the log, SPH_Poiseuille.m:267, :284).
+            t_before, step_before = (
+                log_base if log_base is not None
+                else (jnp.asarray(0.0, dt.dtype), jnp.asarray(0, jnp.int32)))
+            g_step = step_before + step_idx + 1
             vmax = jnp.sqrt(jnp.max(out["vx"][:nf] ** 2
                                     + out["vy"][:nf] ** 2))
+            n_pairs = self._count_pairs(lay, geom)
             jax.lax.cond(
-                (step_idx + 1) % cfg.step_log_every == 0,
+                g_step % cfg.step_log_every == 0,
                 lambda: jax.debug.print(
-                    "step={s}, dt={dt:.4e}, vmax={v:.4f} | "
-                    "tau_bot={tb:.4f}, tau_top={tt:.4f}, tau_target={tg:.4f}",
-                    s=step_idx + 1, dt=dt, v=vmax, tb=tau_bottom,
+                    "step={s}, t={t:.6f}/{te:.6f}, dt={dt:.4e}, "
+                    "pairs={np}, vmax={v:.4f}\n"
+                    "  [thick-wall-noslip] tau_bot={tb:.4f}, "
+                    "tau_top={tt:.4f}, tau_target={tg:.4f}",
+                    s=g_step, t=t_before + dt, te=cfg.end_time, dt=dt,
+                    np=n_pairs, v=vmax, tb=tau_bottom,
                     tt=tau_top, tg=cfg.tau_target),
                 lambda: None)
 
@@ -378,20 +405,22 @@ class CellEngine:
     def _init(self, state: State):
         """Initial neighbor build + density/KGC/EOS pass
         (SPH_Poiseuille.m:165-173): a zero-dt, zero-shift cell step whose
-        kinematic outputs are identities; drho is reset to zero."""
+        kinematic outputs are identities. ``drho_dt`` is PRESERVED — the
+        reference carries it through its post-restart init into the first
+        step's half-kick (SPH_Poiseuille.m S5), and it is already zero on a
+        fresh start. (The zero-dt cell step never reads it.)"""
         cfg, spec, cg = self.cfg, self.spec, self._cg
         lay = self._rebuild(state.x, state.y)
         geom = cg.compute_geometry(spec, lay, state.x, state.y)
         out = cg.cell_step(
             spec, lay, geom, self._mass, state.x, state.y, state.vx,
-            state.vy, jnp.zeros_like(state.drho_dt),
+            state.vy, state.drho_dt,
             jnp.asarray(0.0, state.x.dtype), cfg.rho0, cfg.p0, cfg.c_f,
             cfg.inv_sigma0, 0.0, cfg.gravity_g, cfg.mu,
             cfg.wall_visc_factor)
-        z = jnp.zeros_like(state.drho_dt)
         state = state._replace(
             rho=out["rho"], p=out["p"], vol=out["vol"], b11=out["b11"],
-            b12=out["b12"], b21=out["b21"], b22=out["b22"], drho_dt=z)
+            b12=out["b12"], b21=out["b21"], b22=out["b22"])
         return state, lay, geom, lay.overflow
 
     def _final_shear(self, state: State, lay, geom, mu):
@@ -404,29 +433,35 @@ class CellEngine:
             state.b21, state.b22, mu, cfg.wall_visc_factor)
 
     def _run_interval(self, state: State, lay, geom, interval_len,
-                      g=None, mu=None):
+                      g=None, mu=None, t_base=None, step_base=None):
         dtype = state.x.dtype
         interval_len = jnp.asarray(interval_len, dtype)
+        t_base = (jnp.asarray(0.0, dtype) if t_base is None
+                  else jnp.asarray(t_base, dtype))
+        step_base = (jnp.asarray(0, jnp.int32) if step_base is None
+                     else jnp.asarray(step_base, jnp.int32))
 
         def cond(carry):
             _, _, _, t_local, *_ = carry
-            return t_local < interval_len - self._eps_t
+            return t_local < interval_len
 
         def body(carry):
-            (state, lay, geom, t_local, n_steps, overflow, guard,
+            (state, lay, geom, t_local, t_comp, n_steps, overflow, guard,
              tau_b, tau_t) = carry
             remain = interval_len - t_local
             state, lay, geom, dt, ovf, grd, tau_b, tau_t = self._step(
                 state, lay, geom, n_steps, remain, g, mu,
-                tau_prev=(tau_b, tau_t))
-            return (state, lay, geom, t_local + dt, n_steps + 1,
+                tau_prev=(tau_b, tau_t),
+                log_base=(t_base + t_local, step_base))
+            t_local, t_comp = _t_add(t_local, t_comp, dt)
+            return (state, lay, geom, t_local, t_comp, n_steps + 1,
                     overflow | ovf, guard | grd, tau_b, tau_t)
 
         zero = jnp.asarray(0.0, dtype)
         false = jnp.asarray(False)
-        carry = (state, lay, geom, zero, jnp.asarray(0, jnp.int32),
+        carry = (state, lay, geom, zero, zero, jnp.asarray(0, jnp.int32),
                  false, false, zero, zero)
-        (state, lay, geom, _, n_steps, overflow, guard,
+        (state, lay, geom, _, _, n_steps, overflow, guard,
          tau_b, tau_t) = jax.lax.while_loop(cond, body, carry)
 
         if self.cfg.step_log_every == 0:
@@ -460,7 +495,7 @@ class PallasCellEngine(CellEngine):
                          s_multiple=8 * s_multiple // math.gcd(8, s_multiple))
 
     def _step(self, state: State, lay, geom, step_idx, remain,
-              g=None, mu=None, tau_prev=None):
+              g=None, mu=None, tau_prev=None, log_base=None):
         cfg, spec, cg = self.cfg, self.spec, self._cg
         g = cfg.gravity_g if g is None else g
         mu = cfg.mu if mu is None else mu
@@ -496,6 +531,28 @@ class PallasCellEngine(CellEngine):
         else:
             tau_bottom, tau_top = tau_prev
 
+        if cfg.step_log_every > 0:
+            # reference per-step log schema (SPH_Poiseuille.m:285-291);
+            # pairs= is this step's own (pre-rebuild) pair set, carried
+            # from the density kernel
+            t_before, step_before = (
+                log_base if log_base is not None
+                else (jnp.asarray(0.0, dt.dtype), jnp.asarray(0, jnp.int32)))
+            g_step = step_before + step_idx + 1
+            vmax = jnp.sqrt(jnp.max(out["vx"][:nf] ** 2
+                                    + out["vy"][:nf] ** 2))
+            jax.lax.cond(
+                g_step % cfg.step_log_every == 0,
+                lambda: jax.debug.print(
+                    "step={s}, t={t:.6f}/{te:.6f}, dt={dt:.4e}, "
+                    "pairs={np}, vmax={v:.4f}\n"
+                    "  [thick-wall-noslip] tau_bot={tb:.4f}, "
+                    "tau_top={tt:.4f}, tau_target={tg:.4f}",
+                    s=g_step, t=t_before + dt, te=cfg.end_time, dt=dt,
+                    np=out["n_pairs"], v=vmax, tb=tau_bottom,
+                    tt=tau_top, tg=cfg.tau_target),
+                lambda: None)
+
         new_state = State(
             x=x, y=y, vx=out["vx"], vy=out["vy"], rho=out["rho"],
             p=out["p"], drho_dt=out["drho_dt"], fx=out["fx"], fy=out["fy"],
@@ -510,14 +567,14 @@ class PallasCellEngine(CellEngine):
         lay = self._rebuild(state.x, state.y)
         out = cg.cell_step_pallas(
             spec, lay, self._mass, state.x, state.y, state.vx, state.vy,
-            jnp.zeros_like(state.drho_dt),
+            state.drho_dt,
             jnp.asarray(0.0, state.x.dtype), cfg.rho0, cfg.p0, cfg.c_f,
             cfg.inv_sigma0, 0.0, cfg.gravity_g, cfg.mu,
             cfg.wall_visc_factor)
-        z = jnp.zeros_like(state.drho_dt)
+        # drho_dt preserved across restart (see CellEngine._init)
         state = state._replace(
             rho=out["rho"], p=out["p"], vol=out["vol"], b11=out["b11"],
-            b12=out["b12"], b21=out["b21"], b22=out["b22"], drho_dt=z)
+            b12=out["b12"], b21=out["b21"], b22=out["b22"])
         return state, lay, out["n_pairs"], lay.overflow
 
     def _final_shear(self, state: State, lay, geom, mu):

@@ -100,18 +100,89 @@ def save_postprocess_npz(path: str, data: dict):
 
 
 def load_postprocess_npz(path: str) -> dict:
+    """Schema-validated load. The final profile (y_mid/u_mean/u_exact) is
+    NOT required — ``get_final_profile`` reconstructs it from the raw state
+    when absent (reference: get_final_profile,
+    SPH_Poiseuille_postprocess.m:158-175)."""
     if not os.path.exists(path):
         raise FileNotFoundError(f"postprocess data file does not exist: {path}")
     with np.load(path, allow_pickle=False) as z:
-        required = ("cfg_DL", "cfg_DH", "cfg_U_max", "cfg_gravity_g",
-                    "cfg_nu", "cfg_wall_thickness", "n_fluid", "fluid_x",
-                    "fluid_y", "fluid_u", "profile_times", "mid_profile_u",
-                    "y_mid", "u_mean", "u_exact", "result_png",
-                    "profile_evolution_png")
+        required = ("cfg_DL", "cfg_DH", "cfg_dp", "cfg_U_max",
+                    "cfg_gravity_g", "cfg_nu", "cfg_h",
+                    "cfg_wall_thickness", "n_fluid", "fluid_x",
+                    "fluid_y", "fluid_u", "n_bins", "profile_times",
+                    "mid_profile_u", "result_png", "profile_evolution_png")
         missing = [k for k in required if k not in z]
         if missing:
             raise ValueError(f"postprocess data missing fields: {missing}")
         return {k: z[k] for k in z.files}
+
+
+def get_final_profile(data: dict):
+    """(y_mid, u_mean, u_exact): stored when present, otherwise
+    reconstructed from the raw final state — the reference's fallback for
+    handoff files without a final_profile struct
+    (SPH_Poiseuille_postprocess.m:158-175)."""
+    if all(k in data for k in ("y_mid", "u_mean", "u_exact")):
+        return (np.asarray(data["y_mid"], np.float64),
+                np.asarray(data["u_mean"], np.float64),
+                np.asarray(data["u_exact"], np.float64))
+    DH = float(data["cfg_DH"])
+    y = np.asarray(data["fluid_y"], np.float64)
+    u = np.asarray(data["fluid_u"], np.float64)
+    n_bins = int(data["n_bins"])
+    y_mid, u_mean = binned_profile_mean(y, u, 0.0, DH, n_bins)
+    g = float(data["cfg_gravity_g"])
+    nu = float(data["cfg_nu"])
+    u_exact = g / (2.0 * nu) * y_mid * (DH - y_mid)
+    return y_mid, u_mean, u_exact
+
+
+def edge_seam_metrics(data: dict, half_width: Optional[float] = None):
+    """Periodic-seam regression canaries matching the reference's published
+    fix-log metrics (README.md:150-151: ``edge ux gap`` 0.0232 and ``edge
+    profile L2`` 0.00514 after the ghost-entry fix). The reference does not
+    ship the computation, so the definitions here are documented:
+
+    * left/right edge profiles over the slices ``x in [0, w)`` and
+      ``x in (DL - w, DL]`` with ``w = max(dp, h)`` (the mid-channel
+      monitor's slice width, SPH_Poiseuille.m:593);
+    * ``edge_ux_gap`` = max over common non-empty bins of
+      ``|d_left(y) - d_right(y)|`` where ``d = u_x - u_exact(y)`` is binned
+      PER PARTICLE — the seam discontinuity. Binning the analytic
+      deviation rather than raw u removes the intra-bin sampling noise
+      (one edge column holds ~1 particle per bin, so raw-u bin means
+      differ by (du/dy) x intra-bin y scatter even for a perfectly
+      continuous field);
+    * ``edge_profile_L2`` = relative L2 vs the analytic profile of the
+      COMBINED seam slice (periodic distance to x=0 within w) — the L2 of
+      the profile the seam fix is supposed to make continuous.
+    """
+    DL = float(data["cfg_DL"])
+    DH = float(data["cfg_DH"])
+    if half_width is None:
+        half_width = max(float(data["cfg_dp"]), float(data["cfg_h"]))
+    x = np.mod(np.asarray(data["fluid_x"], np.float64), DL)
+    y = np.asarray(data["fluid_y"], np.float64)
+    u = np.asarray(data["fluid_u"], np.float64)
+    n_bins = int(data["n_bins"])
+    g = float(data["cfg_gravity_g"])
+    nu = float(data["cfg_nu"])
+
+    dev = u - g / (2.0 * nu) * y * (DH - y)
+    left = x < half_width
+    right = x > DL - half_width
+    _, d_left = binned_profile_mean(y[left], dev[left], 0.0, DH, n_bins)
+    _, d_right = binned_profile_mean(y[right], dev[right], 0.0, DH, n_bins)
+    both = ~np.isnan(d_left) & ~np.isnan(d_right)
+    edge_ux_gap = (float(np.max(np.abs(d_left[both] - d_right[both])))
+                   if np.any(both) else float("nan"))
+
+    y_mid, u_seam = mid_channel_profile(x, y, u, DL, DH, 0.0, half_width,
+                                        n_bins)
+    u_exact = g / (2.0 * nu) * y_mid * (DH - y_mid)
+    edge_profile_l2 = compute_l2_error(u_seam, u_exact)
+    return edge_ux_gap, edge_profile_l2
 
 
 def _interp_velocity_field(x, y, u, cfg_DL, cfg_DH, cfg_dp, cfg_h):
@@ -149,18 +220,19 @@ def run_postprocess(data: dict, quiet: bool = False) -> dict:
     DH = float(data["cfg_DH"])
     U_max = float(data["cfg_U_max"])
     wall_thickness = float(data["cfg_wall_thickness"])
-    y_mid = np.asarray(data["y_mid"], np.float64)
-    u_mean = np.asarray(data["u_mean"], np.float64)
-    u_exact = np.asarray(data["u_exact"], np.float64)
+    y_mid, u_mean, u_exact = get_final_profile(data)
     result_png = str(data["result_png"])
     profile_png = str(data["profile_evolution_png"])
 
     l2 = compute_l2_error(u_mean, u_exact)
     passed = l2 < L2_PASS_THRESHOLD
+    edge_ux_gap, edge_profile_l2 = edge_seam_metrics(data)
     if not quiet:
         print(f"L2 relative error = {100.0 * l2:.4f}%")
         print("validation PASSED: L2_error < 5%" if passed
               else "validation FAILED: L2_error >= 5%")
+        print(f"edge ux gap = {edge_ux_gap:.4f}")
+        print(f"edge profile L2 = {edge_profile_l2:.5f}")
 
     os.makedirs(os.path.dirname(result_png) or ".", exist_ok=True)
     os.makedirs(os.path.dirname(profile_png) or ".", exist_ok=True)
@@ -241,7 +313,9 @@ def run_postprocess(data: dict, quiet: bool = False) -> dict:
     if not quiet:
         print(f"profile-evolution figure saved: {profile_png}")
 
-    return {"L2_error": l2, "passed": passed, "result_png": result_png,
+    return {"L2_error": l2, "passed": passed,
+            "edge_ux_gap": edge_ux_gap, "edge_profile_L2": edge_profile_l2,
+            "result_png": result_png,
             "profile_evolution_png": profile_png}
 
 

@@ -227,3 +227,66 @@ def test_interval_tail_tau_matches_inloop_monitor(engines):
                                             abs=1e-9)
     assert taus["tail"][1] == pytest.approx(taus["loop"][1], rel=1e-6,
                                             abs=1e-9)
+
+
+def test_tiny_domain_seam_dedup():
+    """nx < 3 grids: the cell layout's wrapped halo must not revisit a cell
+    the interior window already covers (each cross-seam pair would be
+    double-counted; the reference dedups via its seen_neighbor stamp,
+    sph_neighbor_search_mex.c:298-303). Guarded by equivalence with the
+    gather engine, whose x_offsets dedup statically."""
+    cfg = default_cfg(DL=0.3, DH=0.5, dp=0.05, end_time=0.5,
+                      output_interval=0.25)
+    scene = build_scene(cfg)
+    ga = Engine(cfg, scene)
+    cg = CellEngine(cfg, scene)
+    assert cg.spec.nx < 3, "config no longer exercises the tiny-nx path"
+    state0 = initial_state(cfg, scene)
+    sa, _, _, ova = ga.init(state0)
+    sc, _, _, ovc = cg.init(state0)
+    assert not bool(ova) and not bool(ovc)
+    np.testing.assert_allclose(np.asarray(sc.rho), np.asarray(sa.rho),
+                               rtol=5e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sc.vol), np.asarray(sa.vol),
+                               rtol=5e-5, atol=1e-5)
+
+
+def test_init_preserves_restored_drho_dt(engines):
+    """Restart parity: the post-restart init pass must carry the restored
+    drho_dt into the first step's density half-kick (the reference's S5
+    init does not touch drho_dt, SPH_Poiseuille.m:147-173)."""
+    cfg, scene, ga, cg, state0 = engines
+    rng = np.random.default_rng(11)
+    drho = np.zeros(scene.n_total, np.float32)
+    drho[:scene.n_fluid] = rng.normal(0, 0.01, scene.n_fluid)
+    state = state0._replace(drho_dt=drho)
+    for eng in (ga, cg):
+        s_out, _, _, _ = eng.init(state)
+        np.testing.assert_array_equal(np.asarray(s_out.drho_dt), drho)
+
+
+def test_interval_clock_kahan():
+    """The compensated interval clock stays exact to ~1 ulp over thousands
+    of f32 accumulations (bare f32 drifts the step count by +-1)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sph_poiseuille_flow_tpu.stepper import _t_add
+
+    dt = np.float32(2.37e-4)
+    n = 4219
+
+    def body(carry, _):
+        t, c = carry
+        t, c = _t_add(t, c, jnp.asarray(dt))
+        return (t, c), None
+
+    (t_end, _), _ = jax.lax.scan(
+        body, (jnp.float32(0.0), jnp.float32(0.0)), None, length=n)
+    exact = float(np.float64(dt) * n)
+    assert abs(float(t_end) - exact) < 4 * np.finfo(np.float32).eps * exact
+    # bare f32 accumulation for contrast: visibly worse
+    t_bare = np.float32(0.0)
+    for _ in range(n):
+        t_bare = np.float32(t_bare + dt)
+    assert abs(float(t_bare) - exact) > abs(float(t_end) - exact)

@@ -43,10 +43,22 @@ def test_l2_below_threshold(e2e_result):
 
 
 def test_wall_shear_converged(e2e_result):
-    """tau -> g*rho0*DH/2 at steady state (SPH_Poiseuille.m:231)."""
+    """The interval wall-shear monitor converges to the analytic
+    tau = g*rho0*DH/2 (SPH_Poiseuille.m:231, :289-290) — this fails if the
+    wall-shear pipeline (C10 twin) breaks, not just if the profile does."""
     cfg, paths, sim, result = e2e_result
-    # re-check from the final state via another interval would be costly;
-    # instead verify profile symmetry and magnitude
+    tau_target = cfg.tau_target
+    assert result["tau_bottom"] == pytest.approx(tau_target, rel=0.05)
+    assert result["tau_top"] == pytest.approx(tau_target, rel=0.05)
+    # and the monitor history actually converges toward the target
+    gaps = [abs(tb - tau_target) + abs(tt - tau_target)
+            for _, tb, tt in sim.tau_history]
+    assert gaps[-1] < gaps[0]
+
+
+def test_profile_symmetry(e2e_result):
+    """Top/bottom halves of the developed profile are mirror images."""
+    cfg, paths, sim, result = e2e_result
     state = result["final_state"]
     nf = sim.scene.n_fluid
     u = np.asarray(state.vx[:nf])
@@ -113,3 +125,18 @@ def test_particles_stay_in_channel(e2e_result):
     assert y.max() < cfg.DH
     assert x.min() >= 0.0
     assert x.max() < cfg.DL
+
+
+def test_edge_seam_metrics(e2e_result):
+    """Periodic-seam canaries on the developed flow (reference fix-log:
+    edge ux gap 0.0232, edge profile L2 0.00514, README.md:150-151) — these
+    guard the ghost-free minimum-image seam design. At this coarse CI
+    resolution (dp=0.05, ~1 particle per edge bin) the max-gap statistic
+    carries real sampling scatter (measured ~0.07-0.10 for a HEALTHY seam),
+    so the thresholds are breakage canaries: a genuine seam bug (e.g. a
+    double-counted halo column) shifts them by O(0.2+). The tight
+    reference-scale values are tracked by the full dp<=0.04 validation
+    artifacts (docs/ACCURACY.md)."""
+    cfg, paths, sim, result = e2e_result
+    assert result["edge_ux_gap"] < 0.15 * cfg.U_max
+    assert result["edge_profile_L2"] < 0.06

@@ -110,3 +110,77 @@ def test_handoff_missing_field_rejected(tmp_path):
     np.savez(path, cfg_DL=1.0)
     with pytest.raises(ValueError):
         pp.load_postprocess_npz(path)
+
+
+def test_final_profile_reconstruction_fallback(tmp_path):
+    """Handoff files without a stored final profile reconstruct it from the
+    raw state (reference: get_final_profile,
+    SPH_Poiseuille_postprocess.m:158-175)."""
+    cfg = default_cfg(DL=1.0, DH=0.5, dp=0.05, end_time=1.0)
+    rng = np.random.default_rng(5)
+    nf = 4000
+    x = rng.uniform(0, cfg.DL, nf)
+    y = rng.uniform(0, cfg.DH, nf)
+    u = cfg.analytic_u(y)
+    data = {
+        "cfg_DL": cfg.DL, "cfg_DH": cfg.DH, "cfg_dp": cfg.dp,
+        "cfg_U_max": cfg.U_max, "cfg_gravity_g": cfg.gravity_g,
+        "cfg_nu": cfg.nu, "cfg_h": cfg.h,
+        "cfg_wall_thickness": cfg.wall_thickness,
+        "n_fluid": nf,
+        "fluid_x": x, "fluid_y": y, "fluid_u": u,
+        "fluid_v": np.zeros(nf),
+        "n_bins": cfg.n_bins,
+        "profile_times": np.array([0.0, 1.0]),
+        "mid_profile_u": np.stack([0 * cfg.analytic_u(
+            np.linspace(0, cfg.DH, cfg.n_bins))] * 2, axis=1),
+        "result_png": str(tmp_path / "r.png"),
+        "profile_evolution_png": str(tmp_path / "e.png"),
+    }
+    path = str(tmp_path / "no_profile.npz")
+    pp.save_postprocess_npz(path, data)
+    loaded = pp.load_postprocess_npz(path)
+    assert "u_mean" not in loaded
+    y_mid, u_mean, u_exact = pp.get_final_profile(loaded)
+    assert y_mid.shape == (cfg.n_bins,)
+    # exact analytic samples -> reconstruction L2 is only binning error
+    assert pp.compute_l2_error(u_mean, u_exact) < 0.02
+    result = pp.postprocess_file(path, quiet=True)
+    assert result["passed"]
+
+
+def test_edge_seam_metrics_analytic_field():
+    """A periodic analytic field has no seam discontinuity: both canaries
+    (reference README.md:150-151) must be near zero."""
+    cfg = default_cfg(DL=1.0, DH=0.5, dp=0.05, end_time=1.0)
+    rng = np.random.default_rng(9)
+    nf = 20000
+    x = rng.uniform(0, cfg.DL, nf)
+    y = rng.uniform(0, cfg.DH, nf)
+    u = cfg.analytic_u(y)
+    data = {
+        "cfg_DL": cfg.DL, "cfg_DH": cfg.DH, "cfg_dp": cfg.dp,
+        "cfg_h": cfg.h, "cfg_gravity_g": cfg.gravity_g, "cfg_nu": cfg.nu,
+        "fluid_x": x, "fluid_y": y, "fluid_u": u, "n_bins": cfg.n_bins,
+    }
+    gap, l2 = pp.edge_seam_metrics(data)
+    assert gap < 0.02 * cfg.U_max
+    assert l2 < 0.02
+
+
+def test_edge_seam_metrics_detect_discontinuity():
+    """A deliberate velocity jump across the seam must move edge_ux_gap."""
+    cfg = default_cfg(DL=1.0, DH=0.5, dp=0.05, end_time=1.0)
+    rng = np.random.default_rng(13)
+    nf = 20000
+    x = rng.uniform(0, cfg.DL, nf)
+    y = rng.uniform(0, cfg.DH, nf)
+    u = cfg.analytic_u(y)
+    u = np.where(x < 0.5 * cfg.DL, u, u + 0.2 * cfg.U_max)  # seam jump
+    data = {
+        "cfg_DL": cfg.DL, "cfg_DH": cfg.DH, "cfg_dp": cfg.dp,
+        "cfg_h": cfg.h, "cfg_gravity_g": cfg.gravity_g, "cfg_nu": cfg.nu,
+        "fluid_x": x, "fluid_y": y, "fluid_u": u, "n_bins": cfg.n_bins,
+    }
+    gap, _ = pp.edge_seam_metrics(data)
+    assert gap > 0.15 * cfg.U_max
