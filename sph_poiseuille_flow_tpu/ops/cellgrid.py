@@ -59,8 +59,6 @@ class CellLayout(NamedTuple):
     a_fluid: jnp.ndarray    # (S, K) f32 1.0 where the slot holds a fluid
     a_valid: jnp.ndarray    # (S, K) f32 slot occupancy
     mass_a: jnp.ndarray     # (S, K) slot-side mass (1.0 in empty slots)
-    pidf_a: jnp.ndarray     # (S, K) float-encoded particle id (-1 empty)
-    pidf_v: jnp.ndarray     # (S, 9K) float-encoded view particle id
     ref_x: jnp.ndarray      # (n_total,) positions at rebuild (skin guard)
     ref_y: jnp.ndarray
     overflow: jnp.ndarray   # bool
@@ -162,17 +160,11 @@ def build_layout(spec: GridSpec, x, y, mass, wall_vx, wall_vy,
     statics_a = _apack(core_static, 7)
     a_valid, a_fluid = statics_a[0], statics_a[1]
     mass_a = jnp.where(a_valid > 0, statics_a[2], 1.0)
-    # float-encoded pids (exact below 2^24) for the Pallas kernels, whose
-    # packed field blocks are single-dtype
-    pidf_core = _core(spec, slot, (pid.astype(fdtype),), fill=-1.0)
-    (pidf_v,) = _unpack(_nview(spec, pidf_core), 1)
-    (pidf_a,) = _apack(pidf_core, 1)
 
     return CellLayout(
         slot=slot, pid_v=pid_v, pid_a=pid_a, valid_v=valid_v, isf_v=isf_v,
         mass_v=mass_v, wvx_v=wvx_v, wvy_v=wvy_v, wbot_v=wbot_v,
         wtop_v=wtop_v, a_fluid=a_fluid, a_valid=a_valid, mass_a=mass_a,
-        pidf_a=pidf_a, pidf_v=pidf_v,
         ref_x=x, ref_y=y, overflow=overflow)
 
 
@@ -489,165 +481,3 @@ def cell_wall_shear(spec: GridSpec, lay: CellLayout, geom: CellGeometry,
     tau_bottom = -jnp.sum(f_pair * lay.wbot_v[:, None, :]) / spec.DL
     tau_top = -jnp.sum(f_pair * lay.wtop_v[:, None, :]) / spec.DL
     return tau_bottom, tau_top
-
-
-def cell_step_pallas(spec: GridSpec, lay: CellLayout, mass, x, y, vx, vy,
-                     drho_dt, dt, rho0: float, p0: float, c_f: float,
-                     inv_sigma0: float, transport_coeff: float, g, mu,
-                     wall_visc_factor: float = 4.0):
-    """Pallas-fused variant of ``cell_step``: each pair phase (density,
-    KGC, viscous+shifting+pressure, continuity) runs as one fused kernel
-    (ops/pallas_kernels.py) that recomputes pair geometry in VMEM — no
-    (S, K, 9K) intermediates ever reach HBM. Per-slot algebra (EOS, KGC
-    blend, kick, finalize) stays in XLA. Same physics and ordering as
-    ``cell_step``; equivalence enforced by tests/test_pallas.py.
-
-    Returns the same per-particle dict plus ``n_pairs`` (the pair count of
-    the step's own — pre-rebuild — pair set).
-    """
-    from . import pallas_kernels as pk
-
-    nf = spec.n_fluid
-    h = spec.h
-    af = lay.a_fluid
-    mass_a = lay.mass_a
-
-    # per-step packed scatter of carried state
-    core_state = _core(spec, lay.slot, (x, y, vx, vy, drho_dt))
-    xa, ya, vxa, vya, drho_a = _apack(core_state, 5)
-    xv, yv, vxv, vyv, _ = _unpack(_nview(spec, core_state), 5)
-
-    # ---- phase 1: density sums (fused kernel) ----
-    sig_pair, sig_contact, cnt_f, cnt_w = pk.density_phase(
-        spec, xa, ya, lay.pidf_a, xv, yv, lay.pidf_v, lay.valid_v,
-        lay.isf_v, lay.mass_v, rho0)
-    sigma_inner = w0(h) + sig_pair
-    rho_a = (sigma_inner * rho0 * inv_sigma0
-             + sig_contact * rho0 * rho0 * inv_sigma0 / mass_a)
-    rho_a = jnp.where(rho_a <= 1e-12, rho0, rho_a)
-    rho_a = jnp.where(af > 0, rho_a, rho0)
-    vol_a = mass_a / rho_a
-    (vol_v,) = _unpack(
-        _nview(spec, vol_a.reshape(spec.ny, spec.nx, spec.K)), 1)
-    n_pairs = (jnp.sum(cnt_f * af) / 2 + jnp.sum(cnt_w * af)).astype(
-        jnp.int32)
-
-    # ---- phase 2: KGC accumulation (fused kernel) + blend (per-slot) ----
-    a11, a12, a21, a22 = pk.kgc_phase(
-        spec, xa, ya, lay.pidf_a, xv, yv, lay.pidf_v, lay.valid_v, vol_v)
-    ata11 = a11 * a11 + a21 * a21 + EPS_REG
-    ata12 = a11 * a12 + a21 * a22
-    ata22 = a12 * a12 + a22 * a22 + EPS_REG
-    det_m = ata11 * ata22 - ata12 * ata12
-    degenerate = jnp.abs(det_m) < 1e-20
-    det_m_safe = jnp.where(degenerate, 1.0, det_m)
-    im11 = ata22 / det_m_safe
-    im12 = -ata12 / det_m_safe
-    im22 = ata11 / det_m_safe
-    p11 = jnp.where(degenerate, 1.0, im11 * a11 + im12 * a12)
-    p12 = jnp.where(degenerate, 0.0, im11 * a21 + im12 * a22)
-    p21 = jnp.where(degenerate, 0.0, im12 * a11 + im22 * a12)
-    p22 = jnp.where(degenerate, 1.0, im12 * a21 + im22 * a22)
-    det_a = a11 * a22 - a12 * a21
-    det_sqr = jnp.maximum(1.0 - det_a, 0.0)
-    denom = det_a + det_sqr
-    small = jnp.abs(denom) < 1e-12
-    denom_safe = jnp.where(small, 1.0, denom)
-    w1 = jnp.where(small, 0.0, det_a / denom_safe)
-    w2 = jnp.where(small, 1.0, det_sqr / denom_safe)
-    b11_a = jnp.where(af > 0, w1 * p11 + w2, 1.0)
-    b12_a = jnp.where(af > 0, w1 * p12, 0.0)
-    b21_a = jnp.where(af > 0, w1 * p21, 0.0)
-    b22_a = jnp.where(af > 0, w1 * p22 + w2, 1.0)
-
-    # stage-1 density half-kick + EOS per slot (fluid only)
-    rho_half_a = jnp.where(af > 0,
-                           jnp.where(rho_a + 0.5 * dt * drho_a < 1e-10,
-                                     rho0, rho_a + 0.5 * dt * drho_a),
-                           rho_a)
-    p_half_a = jnp.where(af > 0, p0 * (rho_half_a / rho0 - 1.0), 0.0)
-
-    def view_of(*slot_arrays):
-        F = len(slot_arrays)
-        core = jnp.stack(slot_arrays, axis=-1).reshape(
-            spec.ny, spec.nx, spec.K * F)
-        return _unpack(_nview(spec, core), F)
-
-    b11_v, b12_v, b21_v, b22_v, rho_half_v, p_half_v = view_of(
-        b11_a, b12_a, b21_a, b22_a, rho_half_a, p_half_a)
-
-    # ---- phase 3: fused viscous + shifting + pressure kernel ----
-    acc_x, acc_y, inc_x, inc_y, pacc_x, pacc_y = pk.forces_phase(
-        spec,
-        (xa, ya, lay.pidf_a, b11_a, b12_a, b21_a, b22_a, vxa, vya,
-         rho_half_a, p_half_a, vol_a, mass_a),
-        (xv, yv, lay.pidf_v, lay.valid_v, lay.isf_v, vol_v,
-         b11_v, b12_v, b21_v, b22_v, vxv, vyv, rho_half_v, p_half_v,
-         lay.wvx_v, lay.wvy_v),
-        mu, rho0, c_f, g, wall_visc_factor)
-    fpx_a = jnp.where(af > 0, acc_x * vol_a + mass_a * g, 0.0)
-    fpy_a = jnp.where(af > 0, acc_y * vol_a, 0.0)
-    limiter = jnp.clip(100.0 * (inc_x * inc_x + inc_y * inc_y) / (h * h),
-                       0.0, 1.0)
-    shift_scale = transport_coeff * h * h * limiter * af
-    dx_shift_a = shift_scale * inc_x
-    dy_shift_a = shift_scale * inc_y
-    fx_a = jnp.where(af > 0, pacc_x * vol_a, 0.0)
-    fy_a = jnp.where(af > 0, pacc_y * vol_a, 0.0)
-
-    # ---- kick ----
-    inv_m = 1.0 / mass_a
-    vx2_a = jnp.where(af > 0, vxa + (fpx_a + fx_a) * inv_m * dt, 0.0)
-    vy2_a = jnp.where(af > 0, vya + (fpy_a + fy_a) * inv_m * dt, 0.0)
-
-    # ---- phase 4: continuity kernel ----
-    vx2_v, vy2_v = view_of(vx2_a, vy2_a)
-    (rate,) = pk.continuity_phase(
-        spec, (xa, ya, lay.pidf_a, vx2_a, vy2_a),
-        (xv, yv, lay.pidf_v, lay.valid_v, lay.isf_v, vol_v, vx2_v, vy2_v,
-         lay.wvx_v, lay.wvy_v))
-    drho_new_a = jnp.where(af > 0, rate * rho_half_a, 0.0)
-
-    rho_new_a = rho_half_a + 0.5 * dt * drho_new_a
-    rho_new_a = jnp.where(rho_new_a < 1e-10, rho0, rho_new_a)
-    rho_new_a = jnp.where(af > 0, rho_new_a, rho_half_a)
-    p_new_a = jnp.where(af > 0, p0 * (rho_new_a / rho0 - 1.0), 0.0)
-
-    # ---- collect per-slot results back to particle order (one take) ----
-    per_slot = [rho_new_a, p_new_a, drho_new_a, vx2_a, vy2_a, fx_a, fy_a,
-                fpx_a, fpy_a, vol_a, b11_a, b12_a, b21_a, b22_a,
-                dx_shift_a, dy_shift_a]
-    pack = jnp.stack([a.reshape(-1) for a in per_slot], axis=-1)
-    got = pack[lay.slot]
-    (rho_p, p_p, drho_p, vx2_p, vy2_p, fx_p, fy_p, fpx_p, fpy_p, vol_p,
-     b11_p, b12_p, b21_p, b22_p, dxs_p, dys_p) = (
-        got[:, k] for k in range(len(per_slot)))
-
-    x2 = x + dxs_p + 0.5 * dt * vx + 0.5 * dt * vx2_p
-    y2 = y + dys_p + 0.5 * dt * vy + 0.5 * dt * vy2_p
-    fluid_mask = (jnp.arange(spec.n_total) < nf).astype(x.dtype)
-    x2 = x * (1 - fluid_mask) + x2 * fluid_mask
-    y2 = y * (1 - fluid_mask) + y2 * fluid_mask
-
-    return dict(rho=rho_p, p=p_p, drho_dt=drho_p, vx=vx2_p, vy=vy2_p,
-                fx=fx_p, fy=fy_p, fpx=fpx_p, fpy=fpy_p, vol=vol_p,
-                b11=b11_p, b12=b12_p, b21=b21_p, b22=b22_p,
-                x=x2, y=y2, n_pairs=n_pairs)
-
-
-def cell_wall_shear_pallas(spec: GridSpec, lay: CellLayout, x, y, vx, vol,
-                           b11, b12, b21, b22, mu,
-                           wall_visc_factor: float = 4.0):
-    """Pallas twin of ``cell_wall_shear`` on a (freshly rebuilt) layout:
-    one packed scatter + one fused kernel."""
-    from . import pallas_kernels as pk
-
-    core = _core(spec, lay.slot, (x, y, vx, vol, b11, b12, b21, b22))
-    xa, ya, vxa, vol_a, b11_a, b12_a, b21_a, b22_a = _apack(core, 8)
-    view = _unpack(_nview(spec, core), 8)
-    xv, yv, vol_v = view[0], view[1], view[3]
-    tb, tt = pk.wallshear_phase(
-        spec, (xa, ya, lay.pidf_a, vxa, vol_a, b11_a, b12_a, b21_a, b22_a),
-        (xv, yv, lay.pidf_v, lay.valid_v, lay.isf_v, vol_v, lay.wvx_v,
-         lay.wbot_v, lay.wtop_v), mu, wall_visc_factor)
-    return -jnp.sum(tb) / spec.DL, -jnp.sum(tt) / spec.DL

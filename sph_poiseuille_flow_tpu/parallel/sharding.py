@@ -138,7 +138,7 @@ class ShardedCellEngine:
             slot=repl, pid_v=cells, pid_a=cells, valid_v=cells,
             isf_v=cells, mass_v=cells, wvx_v=cells, wvy_v=cells,
             wbot_v=cells, wtop_v=cells, a_fluid=cells, a_valid=cells,
-            mass_a=cells, pidf_a=cells, pidf_v=cells,
+            mass_a=cells,
             ref_x=repl, ref_y=repl, overflow=repl)
         geom_sh = CellGeometry(*([cells] * len(CellGeometry._fields)))
 

@@ -481,18 +481,21 @@ class CellEngine:
 
 class PallasCellEngine(CellEngine):
     """Cell-layout engine with every pair phase fused into a Pallas kernel
-    (ops/pallas_kernels.py): pair geometry is recomputed in VMEM inside
-    each kernel, so no (S, K, 9K) intermediate ever reaches HBM. The
-    ``geom`` slot of the engine API carries the step's pair count (the
-    kernels replace the geometry structure entirely)."""
+    (ops/pallas_cell.py): per-field data travels as tiny halo'd cores and
+    the candidate matrices are built IN VMEM, so no block-sized
+    intermediate ever reaches HBM. The ``geom`` slot of the engine API
+    carries the step's pair count (the kernels replace the geometry
+    structure entirely)."""
 
     def __init__(self, cfg: SPHConfig, scene: Scene, s_multiple: int = 1):
-        # Mosaic requires the sublane dimension of each (BS, K) block to be
-        # a multiple of 8 (or the full array): pad the cell-row count so
-        # the flattened cell axis divides into 8-cell blocks
-        import math
-        super().__init__(cfg, scene,
-                         s_multiple=8 * s_multiple // math.gcd(8, s_multiple))
+        super().__init__(cfg, scene, s_multiple=s_multiple)
+        from .ops import pallas_cell as pc
+        self._pc = pc
+
+    def _rebuild(self, x, y):
+        return self._pc.build_pallas_layout(
+            self.spec, x, y, self._mass, self._wall_vx, self._wall_vy,
+            self._wall_y)
 
     def _step(self, state: State, lay, geom, step_idx, remain,
               g=None, mu=None, tau_prev=None, log_base=None):
@@ -504,8 +507,8 @@ class PallasCellEngine(CellEngine):
 
         dt = verlet_dt(state.vx[:nf], state.vy[:nf], cfg.c_f, cfg.h, nu, g,
                        remain)
-        out = cg.cell_step_pallas(
-            spec, lay, self._mass, state.x, state.y, state.vx, state.vy,
+        out = self._pc.pallas_cell_step(
+            spec, lay, state.x, state.y, state.vx, state.vy,
             state.drho_dt, dt, cfg.rho0, cfg.p0, cfg.c_f, cfg.inv_sigma0,
             cfg.transport_coeff, g, mu, cfg.wall_visc_factor)
 
@@ -524,7 +527,7 @@ class PallasCellEngine(CellEngine):
 
         # same static tau-observation schedule as CellEngine._step
         if tau_prev is None or cfg.step_log_every > 0:
-            tau_bottom, tau_top = cg.cell_wall_shear_pallas(
+            tau_bottom, tau_top = self._pc.pallas_wall_shear(
                 spec, lay, x, y, out["vx"], out["vol"], out["b11"],
                 out["b12"], out["b21"], out["b22"], mu,
                 cfg.wall_visc_factor)
@@ -563,10 +566,10 @@ class PallasCellEngine(CellEngine):
                 tau_bottom, tau_top)
 
     def _init(self, state: State):
-        cfg, spec, cg = self.cfg, self.spec, self._cg
+        cfg, spec = self.cfg, self.spec
         lay = self._rebuild(state.x, state.y)
-        out = cg.cell_step_pallas(
-            spec, lay, self._mass, state.x, state.y, state.vx, state.vy,
+        out = self._pc.pallas_cell_step(
+            spec, lay, state.x, state.y, state.vx, state.vy,
             state.drho_dt,
             jnp.asarray(0.0, state.x.dtype), cfg.rho0, cfg.p0, cfg.c_f,
             cfg.inv_sigma0, 0.0, cfg.gravity_g, cfg.mu,
@@ -578,7 +581,7 @@ class PallasCellEngine(CellEngine):
         return state, lay, out["n_pairs"], lay.overflow
 
     def _final_shear(self, state: State, lay, geom, mu):
-        return self._cg.cell_wall_shear_pallas(
+        return self._pc.pallas_wall_shear(
             self.spec, lay, state.x, state.y, state.vx, state.vol,
             state.b11, state.b12, state.b21, state.b22, mu,
             self.cfg.wall_visc_factor)

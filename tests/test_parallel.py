@@ -121,3 +121,59 @@ def test_sharded_rejects_uneven_split():
     # 200 fluid particles do not divide over 3 devices
     with pytest.raises(ValueError):
         ShardedEngine(cfg, scene, make_mesh(3))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_weak_scaling_slab_locality():
+    """Weak scaling of the y-slab decomposition, virtually: a DH x8 channel
+    over 8 devices (per-device slab == the DH x1 problem) must (a) match
+    the single-device run on the same big domain, and (b) compile to
+    HALO-LOCAL communication — no collective may move pair-block-sized
+    operands. (On this 1-core host wall-clock cannot demonstrate speedup;
+    the structural guarantee that all (S, K, 9K) work stays slab-local is
+    exactly what makes the 8-chip run scale over ICI — the distributed
+    generalization of the reference's ghost-entry halo,
+    sph_neighbor_search_mex.c:282-295.)"""
+    import re
+
+    import jax.numpy as jnp
+
+    cfg = default_cfg(DL=1.0, DH=4.0, dp=0.05, end_time=0.2,
+                      output_interval=0.1)  # 8x the DH=0.5 slab per device
+    scene = build_scene(cfg)
+    mesh = make_mesh(8)
+    sharded = ShardedCellEngine(cfg, scene, mesh)
+    single = CellEngine(cfg, scene,
+                        s_multiple=mesh.devices.size)  # same padded grid
+
+    s0 = initial_state(cfg, scene)
+    s1, l1, g1, _ = single.init(s0)
+    r1 = single.run_interval(s1, l1, g1, np.float32(0.05))
+    s2, l2, g2, ov = sharded.init(s0)
+    assert not bool(ov)
+    r2 = sharded.run_interval(s2, l2, g2, 0.05)
+
+    # (a) value equivalence on the 8x domain
+    assert int(r1.n_steps) == int(r2.n_steps)
+    nf = scene.n_fluid
+    np.testing.assert_allclose(np.asarray(r2.state.vx[:nf]),
+                               np.asarray(r1.state.vx[:nf]),
+                               rtol=1e-4, atol=1e-6)
+
+    # (b) communication stays halo-local: collectives may move per-slot
+    # (S, K) arrays (the replicated-state scatter pattern) and per-particle
+    # vectors, but NEVER the (S, K, 9K) pair blocks, which are 9K/1 = 144x
+    # bigger than a slot array. A sharding bug that replicates or
+    # all-gathers the pair work shows up here as a huge collective.
+    with mesh:
+        compiled = sharded._run.lower(
+            s2, l2, g2, jnp.asarray(0.05, jnp.float32)).compile()
+    hlo = compiled.as_text()
+    n_slot_bytes = 4 * sharded.spec.n_cells * sharded.spec.K
+    limit_bytes = 8 * n_slot_bytes   # pair blocks are 144x n_slot_bytes
+    for m in re.finditer(r"f32\[([\d,]*)\][^\n]*?(all-gather|all-reduce"
+                         r"|collective-permute|all-to-all)", hlo):
+        dims = [int(d) for d in m.group(1).split(",") if d]
+        size = 4 * int(np.prod(dims)) if dims else 4
+        assert size < limit_bytes, (
+            f"pair-block-sized collective found: {m.group(0)[:120]}")
