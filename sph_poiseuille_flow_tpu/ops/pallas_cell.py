@@ -131,11 +131,20 @@ def _tile_matrix(spec: GridSpec, bx: int, dtype):
 def _expand(v, E):
     """(9K, BX) window matrix -> (9K, K*BX) candidate matrix: lane k*BX+c
     holds window column c (every slot of a cell shares its cell's
-    candidates). Lane-tiling via a one-hot matmul — EXACT (each output is
-    a single product by 1.0) and it rides the otherwise-idle MXU; a K-way
-    lane concat of 35-wide pieces costs ~8 shift/select ops per output
-    vreg on the VPU."""
-    return jnp.dot(v, E, preferred_element_type=v.dtype)
+    candidates). Lane-tiling via a one-hot matmul rides the otherwise-idle
+    MXU; a K-way lane concat of 35-wide pieces costs ~8 shift/select ops
+    per output vreg on the VPU.
+
+    precision=HIGHEST is LOAD-BEARING: the TPU MXU multiplies in bf16 by
+    default, which would round every candidate value (positions, float
+    pids) to 8 mantissa bits — ~0.4% position error that corrupts every
+    pair distance (and pid equality) while the one-hot structure makes the
+    math LOOK exact. HIGHEST selects the 3-pass bf16 decomposition, exact
+    to f32 rounding; with the one-hot E each output is then the original
+    f32 value. (CPU interpret runs hide this: XLA CPU f32 dots are exact,
+    so only TPU execution exposes the default-precision rounding.)"""
+    return jnp.dot(v, E, preferred_element_type=v.dtype,
+                   precision=jax.lax.Precision.HIGHEST)
 
 
 def _views(refs, scrs, p, j0, spec, bx, n_fields):

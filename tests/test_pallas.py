@@ -91,3 +91,50 @@ def test_interval_equivalence(engines):
     # pallas counts the step's own (pre-rebuild) pair set; on a short
     # interval the sets coincide
     assert int(rp.n_pairs) == int(ra.n_pairs)
+
+
+def test_expand_exact_beyond_bf16():
+    """_expand must reproduce candidate values EXACTLY (f32), not bf16.
+
+    The one-hot lane-tiling matmul rides the MXU, whose default f32
+    precision is a single bf16 pass (8 mantissa bits). Without
+    precision=HIGHEST every candidate position/pid silently rounds to
+    ~0.4% — invisible on CPU (XLA CPU dots are exact f32) but corrupting
+    every pair distance on real TPU hardware. Values below are chosen to
+    need >8 mantissa bits so a regression fails wherever the MXU default
+    is in effect."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from sph_poiseuille_flow_tpu.ops import pallas_cell as pc
+
+    K, bx = 4, 8
+    rows = 9 * K
+
+    class SpecStub:
+        pass
+
+    spec = SpecStub()
+    spec.K = K
+    rng = np.random.default_rng(3)
+    # odd integers up to 2^13 and positions with full f32 mantissas: both
+    # round under bf16
+    v = np.where(rng.random((rows, bx)) < 0.5,
+                 rng.integers(1, 8192, (rows, bx)) * 2 + 1,
+                 rng.random((rows, bx)) * 3.0).astype(np.float32)
+
+    def body(v_ref, o_ref):
+        E = pc._tile_matrix(spec, bx, v_ref.dtype)
+        o_ref[:, :] = pc._expand(v_ref[:, :], E)
+
+    out = pl.pallas_call(
+        body,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, K * bx), jnp.float32),
+        interpret=pc._interpret(),
+    )(jnp.asarray(v))
+    expect = np.concatenate([v] * K, axis=1)
+    np.testing.assert_array_equal(np.asarray(out), expect)
