@@ -1,0 +1,732 @@
+"""Fully-fused Pallas TPU step: the ENTIRE physics step in ONE kernel.
+
+Round-2 lesson: the XLA cellgrid engine moves ~156 MB/step through HBM at
+dp=0.025 (measured via compiled cost analysis) because XLA materializes the
+(S, K, 9K) pair blocks between fusion groups, and the 5-kernel Pallas
+engine spent comparable time in the XLA glue (27 ``make_cores`` relayouts
+per step) between kernels. This module eliminates both: one ``pallas_call``
+executes all four pair phases as sequential grid sweeps with every
+intermediate resident in VMEM; per step the only HBM traffic is the tiny
+per-particle state (~100 KB) in and out.
+
+Layout — "k-loop over slot rows":
+
+* every field travels as a HALO'D CORE ``(nyp+2, K, nx+2)``: cell row
+  (outer, dynamic-indexable), slot rank K (sublanes), cell column + wrapped
+  x-halo (lanes). Built by one packed scatter per field (no transposes, no
+  a_km twin — the slot-side row of a cell IS sublane k of its core).
+* the grid is ``(4 sweeps, n_groups)``, phase-major: sweep s processes all
+  row groups before sweep s+1, so cross-cell dependencies (neighbor Vol for
+  KGC, neighbor B for forces, neighbor v' for continuity) are satisfied by
+  sweep ordering — the reference's four pair passes per step
+  (sph_physics_mex.c: density :178-234, KGC :239-365, forces :466-957,
+  continuity :1073-1116) map 1:1 onto sweeps.
+* each program stages the nine (dy, dx) window slabs of its R rows into a
+  ``(9K, L=R*nx)`` VMEM scratch per field (static lane offsets only), then
+  loops k = 0..K-1: the slot-side row is sublane ``4K+k`` of the center
+  slab — FREE, no relayout, no MXU, no precision trap (the bf16 lesson of
+  ops/pallas_cell.py does not apply: there are no matmuls here at all).
+* per-k reductions are (9K, L) -> (1, L) sublane sums; per-slot algebra
+  runs on (1, L) rows and accumulates into (K, L) buffers flushed to the
+  output cores with their wrapped halo columns, so later sweeps can stage
+  from them directly.
+
+R (rows per group) is chosen to pack lanes near the 128-lane vreg width
+(``plan``): dp=0.025 -> R=3 (105/128), dp=0.01 -> R=4 (356/384).
+
+Pair formulas are identical to ops/cellgrid.py (each cites the reference
+C source); equivalence vs the XLA engine is enforced by tests/test_pallas.py.
+Kernels run under ``interpret=True`` automatically off-TPU so the suite
+tests them on CPU.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .neighbors import GridSpec
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def plan(spec: GridSpec):
+    """(R, L, n_groups, nyp): pack R cell rows per program so L = R*nx
+    fills 128-lane vregs well; minimize padded-lane work."""
+    nx, ny = spec.nx, spec.ny
+    best = None
+    for R in range(1, 9):
+        L = R * nx
+        cost = -(-L // 128) * 128 * (-(-ny // R))
+        if best is None or cost < best[0]:
+            best = (cost, R)
+    R = best[1]
+    n_groups = -(-ny // R)
+    return R, R * nx, n_groups, R * n_groups
+
+
+class FusedLayout(NamedTuple):
+    """Per-rebuild state of the fused engine: scatter/take indices and the
+    static halo'd cores (the layout-level ghost entries,
+    sph_neighbor_search_mex.c:267-295)."""
+
+    pidx: jnp.ndarray   # (n,) int32 flat index into (nyp, K, nx) interior
+    hidx: jnp.ndarray   # (n,) int32 flat index into (nyp+2, K, nx+2)
+    pid_c: jnp.ndarray  # halo'd float pid core, fill -1
+    mass_c: jnp.ndarray
+    wvx_c: jnp.ndarray  # prescribed wall velocity
+    wvy_c: jnp.ndarray
+    wbot_c: jnp.ndarray  # bottom/top wall membership masks
+    wtop_c: jnp.ndarray
+    ref_x: jnp.ndarray   # positions at rebuild (skin guard)
+    ref_y: jnp.ndarray
+    overflow: jnp.ndarray
+
+
+def make_core(spec: GridSpec, pidx, vals, fill: float = 0.0):
+    """Packed scatter of a per-particle array into the halo'd core.
+
+    x halo = wrapped first/last cell columns, zeroed for nx < 3 where the
+    interior window already covers every cell (cellgrid._nview's dedup of
+    the reference's seen_neighbor stamp, sph_neighbor_search_mex.c:298-303);
+    y halo rows and row padding are ``fill`` (-1 for the pid core so dead
+    slots can never alias particle 0)."""
+    R, L, n_groups, nyp = plan(spec)
+    nx, K = spec.nx, spec.K
+    dtype = vals.dtype
+    flat = jnp.full((nyp * K * nx,), fill, dtype)
+    c3 = flat.at[pidx].set(vals, mode="drop").reshape(nyp, K, nx)
+    if nx >= 3:
+        left, right = c3[:, :, -1:], c3[:, :, :1]
+    else:
+        left = right = jnp.full((nyp, K, 1), fill, dtype)
+    c = jnp.concatenate([left, c3, right], axis=2)
+    pad = jnp.full((1, K, nx + 2), fill, dtype)
+    return jnp.concatenate([pad, c, pad], axis=0)
+
+
+def build_fused_layout(spec: GridSpec, x, y, mass, wall_vx, wall_vy,
+                       wall_y) -> FusedLayout:
+    from .cellgrid import assign_slots
+
+    R, L, n_groups, nyp = plan(spec)
+    n, nx, K = spec.n_total, spec.nx, spec.K
+    slot, overflow = assign_slots(spec, x, y)
+    cell = slot // K
+    k = slot % K
+    iy = cell // nx
+    ix = cell - iy * nx
+    in_range = slot < spec.n_cells * K  # overflow sentinel -> dropped
+    pidx = jnp.where(in_range, (iy * K + k) * nx + ix, nyp * K * nx)
+    hidx = jnp.where(in_range, ((iy + 1) * K + k) * (nx + 2) + ix + 1,
+                     (nyp + 2) * K * (nx + 2))
+    pidx = pidx.astype(jnp.int32)
+    hidx = hidx.astype(jnp.int32)
+
+    fdtype = x.dtype
+    pid = jnp.arange(n, dtype=fdtype)
+    is_wall = (jnp.arange(n) >= spec.n_fluid).astype(fdtype)
+    return FusedLayout(
+        pidx=pidx, hidx=hidx,
+        pid_c=make_core(spec, pidx, pid, fill=-1.0),
+        mass_c=make_core(spec, pidx, mass),
+        wvx_c=make_core(spec, pidx, wall_vx),
+        wvy_c=make_core(spec, pidx, wall_vy),
+        wbot_c=make_core(spec, pidx, is_wall * (wall_y <= 0.0)),
+        wtop_c=make_core(spec, pidx, is_wall * (wall_y >= spec.DH)),
+        ref_x=x, ref_y=y, overflow=overflow)
+
+
+# ---------------------------------------------------------------------------
+# in-kernel helpers
+# ---------------------------------------------------------------------------
+
+
+def _stage(scr, core, g0, spec, R):
+    """Stage the nine (dy, dx) window slabs of rows [g0, g0+R) from a
+    halo'd core into the (9K, L) scratch. Lane offsets are static (Mosaic
+    requirement); the row index is dynamic. Window order (dy, dx) matches
+    cellgrid._nview."""
+    nx, K = spec.nx, spec.K
+    b = 0
+    for dy in range(3):
+        for dx in range(3):
+            for r in range(R):
+                scr[b * K:(b + 1) * K, r * nx:(r + 1) * nx] = \
+                    core[g0 + r + dy, :, dx:dx + nx]
+            b += 1
+
+
+def _stage_aside(buf, core, g0, spec, R, halo: bool):
+    """Stage only the slot-side rows (center cells) of rows [g0, g0+R)
+    into a (K, L) buffer, for fields needed per-slot but never as
+    neighbors."""
+    nx, K = spec.nx, spec.K
+    for r in range(R):
+        if halo:
+            buf[:, r * nx:(r + 1) * nx] = core[g0 + r + 1, :, 1:nx + 1]
+        else:
+            buf[:, r * nx:(r + 1) * nx] = core[g0 + r, :, 0:nx]
+
+
+def _flush(out, acc, g0, spec, R, halo: bool):
+    """Write an accumulated (K, L) per-slot block to an output core's rows
+    [g0, g0+R); for halo'd cores also write the wrapped x-halo columns so
+    later sweeps can stage from them (nx < 3 halos stay zero, matching
+    make_core's dedup)."""
+    nx, K = spec.nx, spec.K
+    for r in range(R):
+        blk = acc[:, r * nx:(r + 1) * nx]
+        if halo:
+            out[g0 + r + 1, :, 1:nx + 1] = blk
+            if nx >= 3:
+                out[g0 + r + 1, :, 0:1] = acc[:, (r + 1) * nx - 1:
+                                              (r + 1) * nx]
+                out[g0 + r + 1, :, nx + 1:nx + 2] = acc[:, r * nx:r * nx + 1]
+        else:
+            out[g0 + r, :, 0:nx] = blk
+
+
+def _geometry(spec, k, sx, sy, spid):
+    """Masked pair geometry of slot k vs the (9K, L) candidate slabs:
+    (pida, af, r_safe, ex, ey, w, dw, m1, mw). Formulas cite
+    sph_neighbor_search_mex.c:115-133 (cubic spline), :359-363 (min-image).
+    Every returned field is 0 in invalid lanes, so masked accumulation
+    never sees staged garbage."""
+    K, h = spec.K, spec.h
+    xa = sx[pl.ds(4 * K + k, 1), :]
+    ya = sy[pl.ds(4 * K + k, 1), :]
+    pida = spid[pl.ds(4 * K + k, 1), :]
+    xv, yv, pidv = sx[:, :], sy[:, :], spid[:, :]
+    dx = xa - xv
+    dx = dx - spec.DL * jnp.round(dx / spec.DL)
+    dy = ya - yv
+    r2 = dx * dx + dy * dy
+    valid = ((pidv >= 0) & (pida != pidv)
+             & (r2 < spec.cutoff * spec.cutoff) & (r2 > 1e-24))
+    r = jnp.sqrt(jnp.where(valid, r2, 1.0))
+    sigma = 10.0 / (7.0 * math.pi * h * h)
+    q = r / h
+    tq = 2.0 - q
+    w = jnp.where(q < 1.0, sigma * (1.0 - 1.5 * q * q + 0.75 * q ** 3),
+                  jnp.where(q < 2.0, sigma * 0.25 * tq ** 3, 0.0))
+    dw = jnp.where(q < 1.0, sigma * (-3.0 * q + 2.25 * q * q) / h,
+                   jnp.where(q < 2.0, -sigma * 0.75 * tq * tq / h, 0.0))
+    fvalid = valid.astype(xa.dtype)
+    inv_r = 1.0 / r
+    m1 = fvalid * (pidv < spec.n_fluid).astype(xa.dtype)
+    af = ((pida >= 0) & (pida < spec.n_fluid)).astype(xa.dtype)
+    return (pida, af, r, dx * inv_r * fvalid, dy * inv_r * fvalid,
+            w * fvalid, dw * fvalid, m1, fvalid - m1)
+
+
+def _w0(h):
+    return 10.0 / (7.0 * math.pi * h * h)
+
+
+# ---------------------------------------------------------------------------
+# the fused step kernel
+# ---------------------------------------------------------------------------
+
+# ref index bookkeeping (see _fused_call):
+_N_IN = 10          # xC yC vxC vyC drC pidC massC wvxC wvyC | dts (SMEM)
+_HALO_OUT = 7       # volO b11O b12O b21O b22O vx2O vy2O
+_PLAIN_OUT = 9      # rhoO pO drhoO fxO fyO fpxO fpyO x2O y2O
+_N_OUT = _HALO_OUT + _PLAIN_OUT + 1   # + cntO
+_N_SCR_FULL = 14    # (9K, L) staging scratches
+_N_ACC = 8          # (K, L) output accumulators
+_N_ASIDE = 5        # (K, L) aside buffers
+
+
+def _step_kernel(*refs, spec, R, L, n_groups, nyp, scalars):
+    (rho0, p0, c_f, inv_sigma0, transport_coeff, g, mu, wf) = scalars
+    nx, K, h = spec.nx, spec.K, spec.h
+    NK = 9 * K
+
+    (xC, yC, vxC, vyC, drC, pidC, massC, wvxC, wvyC, dts) = refs[:_N_IN]
+    (volO, b11O, b12O, b21O, b22O, vx2O, vy2O,
+     rhoO, pO, drhoO, fxO, fyO, fpxO, fpyO, x2O, y2O,
+     cntO) = refs[_N_IN:_N_IN + _N_OUT]
+    base = _N_IN + _N_OUT
+    scr = refs[base:base + _N_SCR_FULL]
+    acc = refs[base + _N_SCR_FULL:base + _N_SCR_FULL + _N_ACC]
+    aside = refs[base + _N_SCR_FULL + _N_ACC:
+                 base + _N_SCR_FULL + _N_ACC + _N_ASIDE]
+
+    sweep = pl.program_id(0)
+    grp = pl.program_id(1)
+    g0 = grp * R
+    dt = dts[0, 0]
+    fdtype = xC.dtype
+
+    # ---- sweep 0: density (sph_physics_mex.c:178-234) ----
+    @pl.when(sweep == 0)
+    def _density():
+        # one-time: zero the y-halo rows of every core written by later
+        # sweeps (their interiors are fully flushed; only the halo rows
+        # would otherwise stage uninitialized VMEM)
+        @pl.when(grp == 0)
+        def _():
+            for c in (volO, b11O, b12O, b21O, b22O, vx2O, vy2O):
+                c[0, :, :] = jnp.zeros((K, nx + 2), fdtype)
+                c[nyp + 1, :, :] = jnp.zeros((K, nx + 2), fdtype)
+
+        _stage(scr[0], xC, g0, spec, R)
+        _stage(scr[1], yC, g0, spec, R)
+        _stage(scr[2], pidC, g0, spec, R)
+        _stage(scr[3], massC, g0, spec, R)
+        _stage_aside(aside[0], drC, g0, spec, R, halo=True)
+
+        def kbody(k, cnt):
+            pida, af, r, ex, ey, w, dw, m1, mw = _geometry(
+                spec, k, scr[0], scr[1], scr[2])
+            massv = scr[3][:, :]
+            sig_inner = _w0(h) + jnp.sum(w * m1, axis=0, keepdims=True)
+            sig_contact = jnp.sum(w * (massv / rho0) * mw, axis=0,
+                                  keepdims=True)
+            massa = scr[3][pl.ds(4 * K + k, 1), :]
+            mass_safe = jnp.where(massa > 0, massa, 1.0)
+            rho = (sig_inner * rho0 * inv_sigma0
+                   + sig_contact * rho0 * rho0 * inv_sigma0 / mass_safe)
+            rho = jnp.where(rho <= 1e-12, rho0, rho)
+            rho = jnp.where(af > 0, rho, rho0)   # walls keep rho0
+            vol = mass_safe / rho
+            # stage-1 density half-kick + EOS (c:857-865)
+            dra = aside[0][pl.ds(k, 1), :]
+            rho_half = jnp.where(
+                af > 0,
+                jnp.where(rho + 0.5 * dt * dra < 1e-10, rho0,
+                          rho + 0.5 * dt * dra),
+                rho)
+            p_half = jnp.where(af > 0, p0 * (rho_half / rho0 - 1.0), 0.0)
+            acc[0][pl.ds(k, 1), :] = vol
+            acc[1][pl.ds(k, 1), :] = rho_half
+            acc[2][pl.ds(k, 1), :] = p_half
+            # reference pair-count convention (fluid-rooted, store-once):
+            # each fluid-fluid pair counted half from both sides
+            return cnt + af * (0.5 * jnp.sum(m1, axis=0, keepdims=True)
+                               + jnp.sum(mw, axis=0, keepdims=True))
+
+        cnt = jax.lax.fori_loop(0, K, kbody, jnp.zeros((1, L), fdtype))
+        cntO[pl.ds(grp, 1), :] = cnt
+        _flush(volO, acc[0], g0, spec, R, halo=True)
+        # rho_half/p_half cores live in scr[12]/scr[13]'s slots? no — they
+        # are dedicated halo'd scratch cores appended after aside buffers
+        rhoHS, pHS, dxsS, dysS = refs[-4], refs[-3], refs[-2], refs[-1]
+        _flush(rhoHS, acc[1], g0, spec, R, halo=True)
+        _flush(pHS, acc[2], g0, spec, R, halo=True)
+
+        @pl.when(grp == 0)
+        def _():
+            rhoHS[0, :, :] = jnp.zeros((K, nx + 2), fdtype)
+            rhoHS[nyp + 1, :, :] = jnp.zeros((K, nx + 2), fdtype)
+            pHS[0, :, :] = jnp.zeros((K, nx + 2), fdtype)
+            pHS[nyp + 1, :, :] = jnp.zeros((K, nx + 2), fdtype)
+
+    # ---- sweep 1: kernel gradient correction (c:239-365) ----
+    @pl.when(sweep == 1)
+    def _kgc():
+        _stage(scr[0], xC, g0, spec, R)
+        _stage(scr[1], yC, g0, spec, R)
+        _stage(scr[2], pidC, g0, spec, R)
+        _stage(scr[3], volO, g0, spec, R)
+
+        def kbody(k, carry):
+            pida, af, r, ex, ey, w, dw, m1, mw = _geometry(
+                spec, k, scr[0], scr[1], scr[2])
+            volv = scr[3][:, :]
+            rf = r * dw * volv * (m1 + mw)
+            a11 = -jnp.sum(rf * ex * ex, axis=0, keepdims=True)
+            a12 = -jnp.sum(rf * ex * ey, axis=0, keepdims=True)
+            a22 = -jnp.sum(rf * ey * ey, axis=0, keepdims=True)
+            a21 = a12
+            # regularized pseudo-inverse blend (c:321-365)
+            ata11 = a11 * a11 + a21 * a21 + 1e-8
+            ata12 = a11 * a12 + a21 * a22
+            ata22 = a12 * a12 + a22 * a22 + 1e-8
+            det_m = ata11 * ata22 - ata12 * ata12
+            degen = jnp.abs(det_m) < 1e-20
+            det_safe = jnp.where(degen, 1.0, det_m)
+            im11 = ata22 / det_safe
+            im12 = -ata12 / det_safe
+            im22 = ata11 / det_safe
+            p11 = jnp.where(degen, 1.0, im11 * a11 + im12 * a12)
+            p12 = jnp.where(degen, 0.0, im11 * a21 + im12 * a22)
+            p21 = jnp.where(degen, 0.0, im12 * a11 + im22 * a12)
+            p22 = jnp.where(degen, 1.0, im12 * a21 + im22 * a22)
+            det_a = a11 * a22 - a12 * a21
+            det_sqr = jnp.maximum(1.0 - det_a, 0.0)
+            denom = det_a + det_sqr
+            small = jnp.abs(denom) < 1e-12
+            denom_safe = jnp.where(small, 1.0, denom)
+            w1 = jnp.where(small, 0.0, det_a / denom_safe)
+            w2 = jnp.where(small, 1.0, det_sqr / denom_safe)
+            acc[0][pl.ds(k, 1), :] = jnp.where(af > 0, w1 * p11 + w2, 1.0)
+            acc[1][pl.ds(k, 1), :] = jnp.where(af > 0, w1 * p12, 0.0)
+            acc[2][pl.ds(k, 1), :] = jnp.where(af > 0, w1 * p21, 0.0)
+            acc[3][pl.ds(k, 1), :] = jnp.where(af > 0, w1 * p22 + w2, 1.0)
+            return carry
+
+        jax.lax.fori_loop(0, K, kbody, jnp.zeros((1, 1), fdtype))
+        _flush(b11O, acc[0], g0, spec, R, halo=True)
+        _flush(b12O, acc[1], g0, spec, R, halo=True)
+        _flush(b21O, acc[2], g0, spec, R, halo=True)
+        _flush(b22O, acc[3], g0, spec, R, halo=True)
+
+    # ---- sweep 2: viscous + shifting + Riemann pressure + kick ----
+    # (c:466-545 viscous, :633-709 shifting, :867-957 pressure,
+    #  :1388-1409 kick)
+    @pl.when(sweep == 2)
+    def _forces():
+        rhoHS, pHS, dxsS, dysS = refs[-4], refs[-3], refs[-2], refs[-1]
+        _stage(scr[0], xC, g0, spec, R)
+        _stage(scr[1], yC, g0, spec, R)
+        _stage(scr[2], pidC, g0, spec, R)
+        _stage(scr[3], volO, g0, spec, R)
+        _stage(scr[4], vxC, g0, spec, R)
+        _stage(scr[5], vyC, g0, spec, R)
+        _stage(scr[6], b11O, g0, spec, R)
+        _stage(scr[7], b12O, g0, spec, R)
+        _stage(scr[8], b21O, g0, spec, R)
+        _stage(scr[9], b22O, g0, spec, R)
+        _stage(scr[10], rhoHS, g0, spec, R)
+        _stage(scr[11], pHS, g0, spec, R)
+        _stage(scr[12], wvxC, g0, spec, R)
+        _stage(scr[13], wvyC, g0, spec, R)
+        _stage_aside(aside[0], massC, g0, spec, R, halo=True)
+
+        def kbody(k, carry):
+            pida, af, r, ex, ey, w, dw, m1, mw = _geometry(
+                spec, k, scr[0], scr[1], scr[2])
+            A = pl.ds(4 * K + k, 1)
+            volv = scr[3][:, :]
+            vxa, vxv = scr[4][A, :], scr[4][:, :]
+            vya, vyv = scr[5][A, :], scr[5][:, :]
+            b11a, b11v = scr[6][A, :], scr[6][:, :]
+            b12a, b12v = scr[7][A, :], scr[7][:, :]
+            b21a, b21v = scr[8][A, :], scr[8][:, :]
+            b22a, b22v = scr[9][A, :], scr[9][:, :]
+            rhoha, rhohv = scr[10][A, :], scr[10][:, :]
+            pha, phv = scr[11][A, :], scr[11][:, :]
+            wvxv, wvyv = scr[12][:, :], scr[13][:, :]
+            vola = scr[3][A, :]
+            massa = aside[0][pl.ds(k, 1), :]
+            mass_safe = jnp.where(massa > 0, massa, 1.0)
+            dwv = dw * volv
+            inv_denom = 1.0 / (r + 0.01 * h)
+
+            b11s = b11a + b11v
+            b12s = b12a + b12v
+            b21s = b21a + b21v
+            b22s = b22a + b22v
+            ebe_f = (ex * (b11s * ex + b12s * ey)
+                     + ey * (b21s * ex + b22s * ey))
+            ebe_w = (ex * (b11a * ex + b12a * ey)
+                     + ey * (b21a * ex + b22a * ey))
+
+            # viscous, 4.0 no-slip wall factor (c:466-545)
+            cf_p = ebe_f * mu * dwv * inv_denom * m1
+            cw_p = wf * ebe_w * mu * dwv * inv_denom * mw
+            acc_x = jnp.sum(cf_p * (vxa - vxv) + cw_p * (vxa - wvxv),
+                            axis=0, keepdims=True)
+            acc_y = jnp.sum(cf_p * (vya - vyv) + cw_p * (vya - wvyv),
+                            axis=0, keepdims=True)
+            fpx = jnp.where(af > 0, acc_x * vola + massa * g, 0.0)
+            fpy = jnp.where(af > 0, acc_y * vola, 0.0)
+
+            # shifting increment, -2 wall mirror factor (c:633-709)
+            tx_f = b11s * ex + b12s * ey
+            ty_f = b21s * ex + b22s * ey
+            tx_w = b11a * ex + b12a * ey
+            ty_w = b21a * ex + b22a * ey
+            inc_x = jnp.sum(-dwv * m1 * tx_f - 2.0 * dwv * mw * tx_w,
+                            axis=0, keepdims=True)
+            inc_y = jnp.sum(-dwv * m1 * ty_f - 2.0 * dwv * mw * ty_w,
+                            axis=0, keepdims=True)
+            limiter = jnp.clip(
+                100.0 * (inc_x * inc_x + inc_y * inc_y) / (h * h), 0.0, 1.0)
+            shift = transport_coeff * h * h * limiter * af
+
+            # Riemann pressure + virtual wall pressure (c:867-957)
+            rho_bar = 0.5 * (rhoha + rhohv)
+            un_l = vxa * ex + vya * ey
+            un_r = vxv * ex + vyv * ey
+            beta = jnp.minimum(3.0 * jnp.maximum(un_l - un_r, 0.0), c_f)
+            p_avg = 0.5 * (pha + phv)
+            p_star = p_avg + 0.5 * beta * rho_bar * (un_l - un_r)
+            p_face = 0.5 * (p_avg + p_star)
+            ax_prior = fpx / mass_safe
+            ay_prior = fpy / mass_safe
+            face_acc = -(ax_prior * ex + ay_prior * ey)
+            p_wall = pha + rhoha * r * jnp.maximum(0.0, face_acc)
+            pacc_x = -jnp.sum((p_face * tx_f * m1
+                               + (pha + p_wall) * tx_w * mw) * dwv,
+                              axis=0, keepdims=True)
+            pacc_y = -jnp.sum((p_face * ty_f * m1
+                               + (pha + p_wall) * ty_w * mw) * dwv,
+                              axis=0, keepdims=True)
+            fx = jnp.where(af > 0, pacc_x * vola, 0.0)
+            fy = jnp.where(af > 0, pacc_y * vola, 0.0)
+
+            # full-step kick, walls stay at rest (c:1388-1409)
+            inv_m = 1.0 / mass_safe
+            vx2 = jnp.where(af > 0, vxa + (fpx + fx) * inv_m * dt, 0.0)
+            vy2 = jnp.where(af > 0, vya + (fpy + fy) * inv_m * dt, 0.0)
+
+            acc[0][pl.ds(k, 1), :] = vx2
+            acc[1][pl.ds(k, 1), :] = vy2
+            acc[2][pl.ds(k, 1), :] = fx
+            acc[3][pl.ds(k, 1), :] = fy
+            acc[4][pl.ds(k, 1), :] = fpx
+            acc[5][pl.ds(k, 1), :] = fpy
+            acc[6][pl.ds(k, 1), :] = shift * inc_x
+            acc[7][pl.ds(k, 1), :] = shift * inc_y
+            return carry
+
+        jax.lax.fori_loop(0, K, kbody, jnp.zeros((1, 1), fdtype))
+        _flush(vx2O, acc[0], g0, spec, R, halo=True)
+        _flush(vy2O, acc[1], g0, spec, R, halo=True)
+        _flush(fxO, acc[2], g0, spec, R, halo=False)
+        _flush(fyO, acc[3], g0, spec, R, halo=False)
+        _flush(fpxO, acc[4], g0, spec, R, halo=False)
+        _flush(fpyO, acc[5], g0, spec, R, halo=False)
+        _flush(dxsS, acc[6], g0, spec, R, halo=False)
+        _flush(dysS, acc[7], g0, spec, R, halo=False)
+
+    # ---- sweep 3: continuity + finalize + position update ----
+    # (c:1073-1116 continuity, :1429-1451 finalize; positions:
+    #  shift + two half drifts, SPH_Poiseuille.m:254-283 ordering)
+    @pl.when(sweep == 3)
+    def _continuity():
+        rhoHS, pHS, dxsS, dysS = refs[-4], refs[-3], refs[-2], refs[-1]
+        _stage(scr[0], xC, g0, spec, R)
+        _stage(scr[1], yC, g0, spec, R)
+        _stage(scr[2], pidC, g0, spec, R)
+        _stage(scr[3], volO, g0, spec, R)
+        _stage(scr[4], vx2O, g0, spec, R)
+        _stage(scr[5], vy2O, g0, spec, R)
+        _stage(scr[6], wvxC, g0, spec, R)
+        _stage(scr[7], wvyC, g0, spec, R)
+        _stage_aside(aside[0], rhoHS, g0, spec, R, halo=True)
+        _stage_aside(aside[1], vxC, g0, spec, R, halo=True)
+        _stage_aside(aside[2], vyC, g0, spec, R, halo=True)
+        _stage_aside(aside[3], dxsS, g0, spec, R, halo=False)
+        _stage_aside(aside[4], dysS, g0, spec, R, halo=False)
+
+        def kbody(k, carry):
+            pida, af, r, ex, ey, w, dw, m1, mw = _geometry(
+                spec, k, scr[0], scr[1], scr[2])
+            A = pl.ds(4 * K + k, 1)
+            kA = pl.ds(k, 1)
+            volv = scr[3][:, :]
+            vx2a, vx2v = scr[4][A, :], scr[4][:, :]
+            vy2a, vy2v = scr[5][A, :], scr[5][:, :]
+            wvxv, wvyv = scr[6][:, :], scr[7][:, :]
+            rhoha = aside[0][kA, :]
+            dwv = dw * volv
+
+            u_jump_f = (vx2a - vx2v) * ex + (vy2a - vy2v) * ey
+            u_jump_w = 2.0 * ((vx2a - wvxv) * ex + (vy2a - wvyv) * ey)
+            rate = jnp.sum((u_jump_f * m1 + u_jump_w * mw) * dwv,
+                           axis=0, keepdims=True)
+            drho_new = jnp.where(af > 0, rate * rhoha, 0.0)
+            rho_new = rhoha + 0.5 * dt * drho_new
+            rho_new = jnp.where(rho_new < 1e-10, rho0, rho_new)
+            rho_new = jnp.where(af > 0, rho_new, rhoha)
+            p_new = jnp.where(af > 0, p0 * (rho_new / rho0 - 1.0), 0.0)
+
+            # positions: shift + half drift (old v) + half drift (new v);
+            # walls never move
+            xa = scr[0][A, :]
+            ya = scr[1][A, :]
+            vxa_old = aside[1][kA, :]
+            vya_old = aside[2][kA, :]
+            x2 = xa + aside[3][kA, :] + 0.5 * dt * (vxa_old + vx2a)
+            y2 = ya + aside[4][kA, :] + 0.5 * dt * (vya_old + vy2a)
+            x2 = jnp.where(af > 0, x2, xa)
+            y2 = jnp.where(af > 0, y2, ya)
+
+            acc[0][kA, :] = rho_new
+            acc[1][kA, :] = p_new
+            acc[2][kA, :] = drho_new
+            acc[3][kA, :] = x2
+            acc[4][kA, :] = y2
+            return carry
+
+        jax.lax.fori_loop(0, K, kbody, jnp.zeros((1, 1), fdtype))
+        _flush(rhoO, acc[0], g0, spec, R, halo=False)
+        _flush(pO, acc[1], g0, spec, R, halo=False)
+        _flush(drhoO, acc[2], g0, spec, R, halo=False)
+        _flush(x2O, acc[3], g0, spec, R, halo=False)
+        _flush(y2O, acc[4], g0, spec, R, halo=False)
+
+
+def _fused_call(spec: GridSpec, cores, dt, scalars):
+    """pallas_call wrapper for the fused step. ``cores``: the 9 input
+    cores; ``dt``: traced scalar. Returns the 17 outputs."""
+    R, L, n_groups, nyp = plan(spec)
+    nx, K = spec.nx, spec.K
+    dtype = cores[0].dtype
+    halo_shape = (nyp + 2, K, nx + 2)
+    plain_shape = (nyp, K, nx)
+
+    kernel = functools.partial(_step_kernel, spec=spec, R=R, L=L,
+                               n_groups=n_groups, nyp=nyp, scalars=scalars)
+    out_shape = ([jax.ShapeDtypeStruct(halo_shape, dtype)] * _HALO_OUT
+                 + [jax.ShapeDtypeStruct(plain_shape, dtype)] * _PLAIN_OUT
+                 + [jax.ShapeDtypeStruct((n_groups, L), dtype)])
+    return pl.pallas_call(
+        kernel,
+        grid=(4, n_groups),
+        in_specs=([pl.BlockSpec(memory_space=pltpu.VMEM)] * 9
+                  + [pl.BlockSpec(memory_space=pltpu.SMEM)]),
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * _N_OUT,
+        out_shape=out_shape,
+        scratch_shapes=(
+            [pltpu.VMEM((9 * K, L), dtype) for _ in range(_N_SCR_FULL)]
+            + [pltpu.VMEM((K, L), dtype) for _ in range(_N_ACC)]
+            + [pltpu.VMEM((K, L), dtype) for _ in range(_N_ASIDE)]
+            + [pltpu.VMEM(halo_shape, dtype),    # rho_half core
+               pltpu.VMEM(halo_shape, dtype),    # p_half core
+               pltpu.VMEM(plain_shape, dtype),   # dx_shift core
+               pltpu.VMEM(plain_shape, dtype)]), # dy_shift core
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(*cores, jnp.asarray(dt, dtype).reshape(1, 1))
+
+
+def fused_cell_step(spec: GridSpec, lay: FusedLayout, x, y, vx, vy,
+                    drho_dt, dt, rho0: float, p0: float, c_f: float,
+                    inv_sigma0: float, transport_coeff: float, g, mu,
+                    wall_visc_factor: float = 4.0):
+    """One full physics step (density+KGC -> viscous(+g) -> shifting ->
+    Verlet) as a single fused Pallas kernel. Same operator order and
+    formulas as cellgrid.cell_step / the reference inner loop
+    (SPH_Poiseuille.m:254-283). Returns the per-particle dict of cell_step
+    plus ``n_pairs``."""
+    for s in (g, mu):
+        if isinstance(s, jax.core.Tracer):
+            raise TypeError(
+                "fused_cell kernels take config scalars as Python floats; "
+                "traced (g, mu) sweeps must use the XLA cellgrid engine")
+    cores = [make_core(spec, lay.pidx, v) for v in (x, y, vx, vy, drho_dt)]
+    cores += [lay.pid_c, lay.mass_c, lay.wvx_c, lay.wvy_c]
+    outs = _fused_call(
+        spec, cores, dt,
+        (rho0, p0, c_f, inv_sigma0, transport_coeff, g, mu,
+         wall_visc_factor))
+    (volO, b11O, b12O, b21O, b22O, vx2O, vy2O,
+     rhoO, pO, drhoO, fxO, fyO, fpxO, fpyO, x2O, y2O, cntO) = outs
+
+    def take_h(c):
+        return c.reshape(-1)[lay.hidx]
+
+    def take_p(c):
+        return c.reshape(-1)[lay.pidx]
+
+    n_pairs = jnp.round(jnp.sum(cntO)).astype(jnp.int32)
+    return dict(rho=take_p(rhoO), p=take_p(pO), drho_dt=take_p(drhoO),
+                vx=take_h(vx2O), vy=take_h(vy2O),
+                fx=take_p(fxO), fy=take_p(fyO),
+                fpx=take_p(fpxO), fpy=take_p(fpyO),
+                vol=take_h(volO), b11=take_h(b11O), b12=take_h(b12O),
+                b21=take_h(b21O), b22=take_h(b22O),
+                x=take_p(x2O), y=take_p(y2O), n_pairs=n_pairs)
+
+
+# ---------------------------------------------------------------------------
+# wall-shear monitor kernel (single sweep, same structure)
+# ---------------------------------------------------------------------------
+
+
+def _shear_kernel(*refs, spec, R, L, n_groups, nyp, scalars):
+    mu, wf = scalars
+    nx, K, h = spec.nx, spec.K, spec.h
+    (xC, yC, pidC, volC, vxC, b11C, b12C, b21C, b22C,
+     wvxC, wbotC, wtopC) = refs[:12]
+    tbO, ttO = refs[12], refs[13]
+    scr = refs[14:14 + 7]
+    aside = refs[21:]
+
+    grp = pl.program_id(0)
+    g0 = grp * R
+
+    _stage(scr[0], xC, g0, spec, R)
+    _stage(scr[1], yC, g0, spec, R)
+    _stage(scr[2], pidC, g0, spec, R)
+    _stage(scr[3], volC, g0, spec, R)
+    _stage(scr[4], wvxC, g0, spec, R)
+    _stage(scr[5], wbotC, g0, spec, R)
+    _stage(scr[6], wtopC, g0, spec, R)
+    _stage_aside(aside[0], vxC, g0, spec, R, halo=True)
+    _stage_aside(aside[1], b11C, g0, spec, R, halo=True)
+    _stage_aside(aside[2], b12C, g0, spec, R, halo=True)
+    _stage_aside(aside[3], b21C, g0, spec, R, halo=True)
+    _stage_aside(aside[4], b22C, g0, spec, R, halo=True)
+
+    def kbody(k, carry):
+        tb, tt = carry
+        pida, af, r, ex, ey, w, dw, m1, mw = _geometry(
+            spec, k, scr[0], scr[1], scr[2])
+        A = pl.ds(4 * K + k, 1)
+        kA = pl.ds(k, 1)
+        volv = scr[3][:, :]
+        wvxv = scr[4][:, :]
+        wbotv, wtopv = scr[5][:, :], scr[6][:, :]
+        vxa = aside[0][kA, :]
+        vola = scr[3][A, :]
+        b11a = aside[1][kA, :]
+        b12a = aside[2][kA, :]
+        b21a = aside[3][kA, :]
+        b22a = aside[4][kA, :]
+        ebe = (ex * (b11a * ex + b12a * ey)
+               + ey * (b21a * ex + b22a * ey))
+        f_pair = (wf * mu * ebe * dw * volv * (vxa - wvxv)
+                  / (r + 0.01 * h) * vola) * mw
+        return (tb + jnp.sum(f_pair * wbotv, axis=0, keepdims=True),
+                tt + jnp.sum(f_pair * wtopv, axis=0, keepdims=True))
+
+    zero = jnp.zeros((1, L), xC.dtype)
+    tb, tt = jax.lax.fori_loop(0, K, kbody, (zero, zero))
+    tbO[pl.ds(grp, 1), :] = tb
+    ttO[pl.ds(grp, 1), :] = tt
+
+
+def fused_wall_shear(spec: GridSpec, lay: FusedLayout, x, y, vx, vol,
+                     b11, b12, b21, b22, mu, wall_visc_factor: float = 4.0):
+    """Wall-shear monitor on the (freshly rebuilt) layout — ordering as
+    the reference (after the rebuild, SPH_Poiseuille.m:280-283; formula
+    sph_physics_mex.c:1713-1742)."""
+    R, L, n_groups, nyp = plan(spec)
+    dtype = x.dtype
+    cores = [make_core(spec, lay.pidx, v)
+             for v in (x, y)] + [lay.pid_c] + \
+        [make_core(spec, lay.pidx, v) for v in (vol, vx, b11, b12, b21,
+                                                b22)] + \
+        [lay.wvx_c, lay.wbot_c, lay.wtop_c]
+    kernel = functools.partial(_shear_kernel, spec=spec, R=R, L=L,
+                               n_groups=n_groups, nyp=nyp,
+                               scalars=(mu, wall_visc_factor))
+    tb, tt = pl.pallas_call(
+        kernel,
+        grid=(n_groups,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 12,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((n_groups, L), dtype)] * 2,
+        scratch_shapes=(
+            [pltpu.VMEM((9 * spec.K, L), dtype) for _ in range(7)]
+            + [pltpu.VMEM((spec.K, L), dtype) for _ in range(5)]),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(*cores)
+    return -jnp.sum(tb) / spec.DL, -jnp.sum(tt) / spec.DL

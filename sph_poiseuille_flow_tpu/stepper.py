@@ -480,20 +480,20 @@ class CellEngine:
 
 
 class PallasCellEngine(CellEngine):
-    """Cell-layout engine with every pair phase fused into a Pallas kernel
-    (ops/pallas_cell.py): per-field data travels as tiny halo'd cores and
-    the candidate matrices are built IN VMEM, so no block-sized
-    intermediate ever reaches HBM. The ``geom`` slot of the engine API
-    carries the step's pair count (the kernels replace the geometry
-    structure entirely)."""
+    """Cell-layout engine with the ENTIRE physics step fused into one
+    Pallas kernel (ops/fused_cell.py): four phase-sweeps over a
+    (sweep, row-group) grid with every pair intermediate resident in VMEM
+    — per step only the tiny per-particle state crosses HBM. The ``geom``
+    slot of the engine API carries the step's pair count (the kernel
+    replaces the geometry structure entirely)."""
 
     def __init__(self, cfg: SPHConfig, scene: Scene, s_multiple: int = 1):
         super().__init__(cfg, scene, s_multiple=s_multiple)
-        from .ops import pallas_cell as pc
+        from .ops import fused_cell as pc
         self._pc = pc
 
     def _rebuild(self, x, y):
-        return self._pc.build_pallas_layout(
+        return self._pc.build_fused_layout(
             self.spec, x, y, self._mass, self._wall_vx, self._wall_vy,
             self._wall_y)
 
@@ -507,7 +507,7 @@ class PallasCellEngine(CellEngine):
 
         dt = verlet_dt(state.vx[:nf], state.vy[:nf], cfg.c_f, cfg.h, nu, g,
                        remain)
-        out = self._pc.pallas_cell_step(
+        out = self._pc.fused_cell_step(
             spec, lay, state.x, state.y, state.vx, state.vy,
             state.drho_dt, dt, cfg.rho0, cfg.p0, cfg.c_f, cfg.inv_sigma0,
             cfg.transport_coeff, g, mu, cfg.wall_visc_factor)
@@ -527,7 +527,7 @@ class PallasCellEngine(CellEngine):
 
         # same static tau-observation schedule as CellEngine._step
         if tau_prev is None or cfg.step_log_every > 0:
-            tau_bottom, tau_top = self._pc.pallas_wall_shear(
+            tau_bottom, tau_top = self._pc.fused_wall_shear(
                 spec, lay, x, y, out["vx"], out["vol"], out["b11"],
                 out["b12"], out["b21"], out["b22"], mu,
                 cfg.wall_visc_factor)
@@ -568,7 +568,7 @@ class PallasCellEngine(CellEngine):
     def _init(self, state: State):
         cfg, spec = self.cfg, self.spec
         lay = self._rebuild(state.x, state.y)
-        out = self._pc.pallas_cell_step(
+        out = self._pc.fused_cell_step(
             spec, lay, state.x, state.y, state.vx, state.vy,
             state.drho_dt,
             jnp.asarray(0.0, state.x.dtype), cfg.rho0, cfg.p0, cfg.c_f,
@@ -581,7 +581,7 @@ class PallasCellEngine(CellEngine):
         return state, lay, out["n_pairs"], lay.overflow
 
     def _final_shear(self, state: State, lay, geom, mu):
-        return self._pc.pallas_wall_shear(
+        return self._pc.fused_wall_shear(
             self.spec, lay, state.x, state.y, state.vx, state.vol,
             state.b11, state.b12, state.b21, state.b22, mu,
             self.cfg.wall_visc_factor)
