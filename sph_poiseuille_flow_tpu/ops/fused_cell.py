@@ -86,9 +86,36 @@ class FusedLayout(NamedTuple):
     wvy_c: jnp.ndarray
     wbot_c: jnp.ndarray  # bottom/top wall membership masks
     wtop_c: jnp.ndarray
-    ref_x: jnp.ndarray   # positions at rebuild (skin guard)
-    ref_y: jnp.ndarray
+    refx_p: jnp.ndarray  # PLAIN position cores at rebuild (skin guard on
+    refy_p: jnp.ndarray  # cores — per-particle order never materializes)
+    occ: jnp.ndarray     # (n_groups, 1) int32 max cell occupancy per row
+    #                      group: the kernels' k-loop bound (empty slot
+    #                      ranks are skipped entirely)
     overflow: jnp.ndarray
+
+
+def make_plain(spec: GridSpec, pidx, vals, fill: float = 0.0):
+    """Packed scatter of a per-particle array into the PLAIN (nyp, K, nx)
+    core (no halo)."""
+    R, L, n_groups, nyp = plan(spec)
+    nx, K = spec.nx, spec.K
+    flat = jnp.full((nyp * K * nx,), fill, vals.dtype)
+    return flat.at[pidx].set(vals, mode="drop").reshape(nyp, K, nx)
+
+
+def halo_ify(spec: GridSpec, plain, fill: float = 0.0):
+    """PLAIN (nyp, K, nx) core -> halo'd (nyp+2, K, nx+2): wrapped x
+    columns (zeroed for nx < 3, make_core's dedup) + ``fill`` y-halo rows.
+    Static slicing only — this is how per-step position/velocity cores
+    travel between steps without ever leaving cell layout."""
+    nyp, K, nx = plain.shape
+    if nx >= 3:
+        left, right = plain[:, :, -1:], plain[:, :, :1]
+    else:
+        left = right = jnp.full((nyp, K, 1), fill, plain.dtype)
+    c = jnp.concatenate([left, plain, right], axis=2)
+    pad = jnp.full((1, K, nx + 2), fill, plain.dtype)
+    return jnp.concatenate([pad, c, pad], axis=0)
 
 
 def make_core(spec: GridSpec, pidx, vals, fill: float = 0.0):
@@ -131,6 +158,19 @@ def build_fused_layout(spec: GridSpec, x, y, mass, wall_vx, wall_vy,
     pidx = pidx.astype(jnp.int32)
     hidx = hidx.astype(jnp.int32)
 
+    # per-row-group k-loop bound: the max rank actually occupied in any
+    # cell of the group's R rows (the kernels skip empty slot ranks — the
+    # static-capacity twin of the reference's exact per-cell linked lists,
+    # sph_neighbor_search_mex.c:69-113)
+    ones = jnp.zeros((spec.n_cells,), jnp.int32).at[
+        jnp.minimum(cell, spec.n_cells - 1)].add(
+        jnp.where(in_range, 1, 0).astype(jnp.int32))
+    occ_rows = jnp.zeros((nyp, nx), jnp.int32).at[:spec.ny, :].set(
+        ones.reshape(spec.ny, nx))
+    occ = jnp.max(occ_rows.reshape(n_groups, R * nx), axis=1,
+                  keepdims=True)
+    occ = jnp.minimum(occ, K).astype(jnp.int32)
+
     fdtype = x.dtype
     pid = jnp.arange(n, dtype=fdtype)
     is_wall = (jnp.arange(n) >= spec.n_fluid).astype(fdtype)
@@ -142,7 +182,9 @@ def build_fused_layout(spec: GridSpec, x, y, mass, wall_vx, wall_vy,
         wvy_c=make_core(spec, pidx, wall_vy),
         wbot_c=make_core(spec, pidx, is_wall * (wall_y <= 0.0)),
         wtop_c=make_core(spec, pidx, is_wall * (wall_y >= spec.DH)),
-        ref_x=x, ref_y=y, overflow=overflow)
+        refx_p=make_plain(spec, pidx, x),
+        refy_p=make_plain(spec, pidx, y),
+        occ=occ, overflow=overflow)
 
 
 # ---------------------------------------------------------------------------
@@ -237,7 +279,7 @@ def _w0(h):
 # ---------------------------------------------------------------------------
 
 # ref index bookkeeping (see _fused_call):
-_N_IN = 10          # xC yC vxC vyC drC pidC massC wvxC wvyC | dts (SMEM)
+_N_IN = 11          # xC yC vxC vyC drP pidC massC wvxC wvyC | occ dts (SMEM)
 _HALO_OUT = 7       # volO b11O b12O b21O b22O vx2O vy2O
 _PLAIN_OUT = 9      # rhoO pO drhoO fxO fyO fpxO fpyO x2O y2O
 _N_OUT = _HALO_OUT + _PLAIN_OUT + 1   # + cntO
@@ -251,7 +293,8 @@ def _step_kernel(*refs, spec, R, L, n_groups, nyp, scalars):
     nx, K, h = spec.nx, spec.K, spec.h
     NK = 9 * K
 
-    (xC, yC, vxC, vyC, drC, pidC, massC, wvxC, wvyC, dts) = refs[:_N_IN]
+    (xC, yC, vxC, vyC, drC, pidC, massC, wvxC, wvyC, occs, dts) = \
+        refs[:_N_IN]
     (volO, b11O, b12O, b21O, b22O, vx2O, vy2O,
      rhoO, pO, drhoO, fxO, fyO, fpxO, fpyO, x2O, y2O,
      cntO) = refs[_N_IN:_N_IN + _N_OUT]
@@ -265,7 +308,15 @@ def _step_kernel(*refs, spec, R, L, n_groups, nyp, scalars):
     grp = pl.program_id(1)
     g0 = grp * R
     dt = dts[0, 0]
+    kmax = occs[grp, 0]
     fdtype = xC.dtype
+
+    def zero_accs(n_used):
+        # empty slot ranks are skipped by the occupancy-bounded k-loop, so
+        # their accumulator rows must be cleared before the flush (a stale
+        # row would leak the previous group's values into the output core)
+        for i in range(n_used):
+            acc[i][:, :] = jnp.zeros((K, L), fdtype)
 
     # ---- sweep 0: density (sph_physics_mex.c:178-234) ----
     @pl.when(sweep == 0)
@@ -283,7 +334,8 @@ def _step_kernel(*refs, spec, R, L, n_groups, nyp, scalars):
         _stage(scr[1], yC, g0, spec, R)
         _stage(scr[2], pidC, g0, spec, R)
         _stage(scr[3], massC, g0, spec, R)
-        _stage_aside(aside[0], drC, g0, spec, R, halo=True)
+        _stage_aside(aside[0], drC, g0, spec, R, halo=False)
+        zero_accs(3)
 
         def kbody(k, cnt):
             pida, af, r, ex, ey, w, dw, m1, mw = _geometry(
@@ -315,7 +367,7 @@ def _step_kernel(*refs, spec, R, L, n_groups, nyp, scalars):
             return cnt + af * (0.5 * jnp.sum(m1, axis=0, keepdims=True)
                                + jnp.sum(mw, axis=0, keepdims=True))
 
-        cnt = jax.lax.fori_loop(0, K, kbody, jnp.zeros((1, L), fdtype))
+        cnt = jax.lax.fori_loop(0, kmax, kbody, jnp.zeros((1, L), fdtype))
         cntO[pl.ds(grp, 1), :] = cnt
         _flush(volO, acc[0], g0, spec, R, halo=True)
         # rho_half/p_half cores live in scr[12]/scr[13]'s slots? no — they
@@ -338,6 +390,7 @@ def _step_kernel(*refs, spec, R, L, n_groups, nyp, scalars):
         _stage(scr[1], yC, g0, spec, R)
         _stage(scr[2], pidC, g0, spec, R)
         _stage(scr[3], volO, g0, spec, R)
+        zero_accs(4)
 
         def kbody(k, carry):
             pida, af, r, ex, ey, w, dw, m1, mw = _geometry(
@@ -375,7 +428,7 @@ def _step_kernel(*refs, spec, R, L, n_groups, nyp, scalars):
             acc[3][pl.ds(k, 1), :] = jnp.where(af > 0, w1 * p22 + w2, 1.0)
             return carry
 
-        jax.lax.fori_loop(0, K, kbody, jnp.zeros((1, 1), fdtype))
+        jax.lax.fori_loop(0, kmax, kbody, jnp.zeros((1, 1), fdtype))
         _flush(b11O, acc[0], g0, spec, R, halo=True)
         _flush(b12O, acc[1], g0, spec, R, halo=True)
         _flush(b21O, acc[2], g0, spec, R, halo=True)
@@ -402,6 +455,7 @@ def _step_kernel(*refs, spec, R, L, n_groups, nyp, scalars):
         _stage(scr[12], wvxC, g0, spec, R)
         _stage(scr[13], wvyC, g0, spec, R)
         _stage_aside(aside[0], massC, g0, spec, R, halo=True)
+        zero_accs(8)
 
         def kbody(k, carry):
             pida, af, r, ex, ey, w, dw, m1, mw = _geometry(
@@ -491,7 +545,7 @@ def _step_kernel(*refs, spec, R, L, n_groups, nyp, scalars):
             acc[7][pl.ds(k, 1), :] = shift * inc_y
             return carry
 
-        jax.lax.fori_loop(0, K, kbody, jnp.zeros((1, 1), fdtype))
+        jax.lax.fori_loop(0, kmax, kbody, jnp.zeros((1, 1), fdtype))
         _flush(vx2O, acc[0], g0, spec, R, halo=True)
         _flush(vy2O, acc[1], g0, spec, R, halo=True)
         _flush(fxO, acc[2], g0, spec, R, halo=False)
@@ -520,6 +574,7 @@ def _step_kernel(*refs, spec, R, L, n_groups, nyp, scalars):
         _stage_aside(aside[2], vyC, g0, spec, R, halo=True)
         _stage_aside(aside[3], dxsS, g0, spec, R, halo=False)
         _stage_aside(aside[4], dysS, g0, spec, R, halo=False)
+        zero_accs(5)
 
         def kbody(k, carry):
             pida, af, r, ex, ey, w, dw, m1, mw = _geometry(
@@ -561,7 +616,7 @@ def _step_kernel(*refs, spec, R, L, n_groups, nyp, scalars):
             acc[4][kA, :] = y2
             return carry
 
-        jax.lax.fori_loop(0, K, kbody, jnp.zeros((1, 1), fdtype))
+        jax.lax.fori_loop(0, kmax, kbody, jnp.zeros((1, 1), fdtype))
         _flush(rhoO, acc[0], g0, spec, R, halo=False)
         _flush(pO, acc[1], g0, spec, R, halo=False)
         _flush(drhoO, acc[2], g0, spec, R, halo=False)
@@ -569,9 +624,10 @@ def _step_kernel(*refs, spec, R, L, n_groups, nyp, scalars):
         _flush(y2O, acc[4], g0, spec, R, halo=False)
 
 
-def _fused_call(spec: GridSpec, cores, dt, scalars):
+def _fused_call(spec: GridSpec, cores, occ, dt, scalars):
     """pallas_call wrapper for the fused step. ``cores``: the 9 input
-    cores; ``dt``: traced scalar. Returns the 17 outputs."""
+    cores; ``occ``: (n_groups, 1) int32 k-loop bounds; ``dt``: traced
+    scalar. Returns the 17 outputs."""
     R, L, n_groups, nyp = plan(spec)
     nx, K = spec.nx, spec.K
     dtype = cores[0].dtype
@@ -587,7 +643,7 @@ def _fused_call(spec: GridSpec, cores, dt, scalars):
         kernel,
         grid=(4, n_groups),
         in_specs=([pl.BlockSpec(memory_space=pltpu.VMEM)] * 9
-                  + [pl.BlockSpec(memory_space=pltpu.SMEM)]),
+                  + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2),
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * _N_OUT,
         out_shape=out_shape,
         scratch_shapes=(
@@ -601,46 +657,77 @@ def _fused_call(spec: GridSpec, cores, dt, scalars):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(*cores, jnp.asarray(dt, dtype).reshape(1, 1))
+    )(*cores, occ, jnp.asarray(dt, dtype).reshape(1, 1))
+
+
+def _check_static_scalars(g, mu):
+    for s in (g, mu):
+        if isinstance(s, jax.core.Tracer):
+            raise TypeError(
+                "fused_cell kernels take config scalars as Python floats; "
+                "traced (g, mu) sweeps must use the XLA cellgrid engine")
+
+
+def fused_step_cores(spec: GridSpec, lay: FusedLayout, xH, yH, vxH, vyH,
+                     drP, dt, rho0: float, p0: float, c_f: float,
+                     inv_sigma0: float, transport_coeff: float, g, mu,
+                     wall_visc_factor: float = 4.0):
+    """Core-level fused step: state stays in cell layout across steps.
+    Inputs: halo'd position/velocity cores + plain drho_dt core. Returns a
+    dict of output cores (names suffixed H = halo'd, P = plain) + ``cnt``
+    (the per-lane pair-count rows). Per step, NOTHING is gathered back to
+    particle order — per-particle state materializes only at rebuilds and
+    interval ends (stepper.PallasCellEngine)."""
+    _check_static_scalars(g, mu)
+    cores = [xH, yH, vxH, vyH, drP,
+             lay.pid_c, lay.mass_c, lay.wvx_c, lay.wvy_c]
+    outs = _fused_call(
+        spec, cores, lay.occ, dt,
+        (rho0, p0, c_f, inv_sigma0, transport_coeff, g, mu,
+         wall_visc_factor))
+    (volH, b11H, b12H, b21H, b22H, vx2H, vy2H,
+     rhoP, pP, drhoP, fxP, fyP, fpxP, fpyP, x2P, y2P, cnt) = outs
+    return dict(volH=volH, b11H=b11H, b12H=b12H, b21H=b21H, b22H=b22H,
+                vxH=vx2H, vyH=vy2H, rhoP=rhoP, pP=pP, drP=drhoP,
+                fxP=fxP, fyP=fyP, fpxP=fpxP, fpyP=fpyP,
+                xP=x2P, yP=y2P, cnt=cnt)
+
+
+def take_h(lay: FusedLayout, core):
+    """Collect a halo'd core back to particle order (one packed take)."""
+    return core.reshape(-1)[lay.hidx]
+
+
+def take_p(lay: FusedLayout, core):
+    """Collect a plain core back to particle order (one packed take)."""
+    return core.reshape(-1)[lay.pidx]
 
 
 def fused_cell_step(spec: GridSpec, lay: FusedLayout, x, y, vx, vy,
                     drho_dt, dt, rho0: float, p0: float, c_f: float,
                     inv_sigma0: float, transport_coeff: float, g, mu,
                     wall_visc_factor: float = 4.0):
-    """One full physics step (density+KGC -> viscous(+g) -> shifting ->
-    Verlet) as a single fused Pallas kernel. Same operator order and
-    formulas as cellgrid.cell_step / the reference inner loop
-    (SPH_Poiseuille.m:254-283). Returns the per-particle dict of cell_step
-    plus ``n_pairs``."""
-    for s in (g, mu):
-        if isinstance(s, jax.core.Tracer):
-            raise TypeError(
-                "fused_cell kernels take config scalars as Python floats; "
-                "traced (g, mu) sweeps must use the XLA cellgrid engine")
-    cores = [make_core(spec, lay.pidx, v) for v in (x, y, vx, vy, drho_dt)]
-    cores += [lay.pid_c, lay.mass_c, lay.wvx_c, lay.wvy_c]
-    outs = _fused_call(
-        spec, cores, dt,
-        (rho0, p0, c_f, inv_sigma0, transport_coeff, g, mu,
-         wall_visc_factor))
-    (volO, b11O, b12O, b21O, b22O, vx2O, vy2O,
-     rhoO, pO, drhoO, fxO, fyO, fpxO, fpyO, x2O, y2O, cntO) = outs
-
-    def take_h(c):
-        return c.reshape(-1)[lay.hidx]
-
-    def take_p(c):
-        return c.reshape(-1)[lay.pidx]
-
-    n_pairs = jnp.round(jnp.sum(cntO)).astype(jnp.int32)
-    return dict(rho=take_p(rhoO), p=take_p(pO), drho_dt=take_p(drhoO),
-                vx=take_h(vx2O), vy=take_h(vy2O),
-                fx=take_p(fxO), fy=take_p(fyO),
-                fpx=take_p(fpxO), fpy=take_p(fpyO),
-                vol=take_h(volO), b11=take_h(b11O), b12=take_h(b12O),
-                b21=take_h(b21O), b22=take_h(b22O),
-                x=take_p(x2O), y=take_p(y2O), n_pairs=n_pairs)
+    """Per-particle wrapper of ``fused_step_cores`` (scatter -> kernel ->
+    collect). Same operator order and formulas as cellgrid.cell_step / the
+    reference inner loop (SPH_Poiseuille.m:254-283). Returns the
+    per-particle dict of cell_step plus ``n_pairs``."""
+    xH, yH, vxH, vyH = (make_core(spec, lay.pidx, v)
+                        for v in (x, y, vx, vy))
+    drP = make_plain(spec, lay.pidx, drho_dt)
+    o = fused_step_cores(
+        spec, lay, xH, yH, vxH, vyH, drP, dt, rho0, p0, c_f, inv_sigma0,
+        transport_coeff, g, mu, wall_visc_factor)
+    n_pairs = jnp.round(jnp.sum(o["cnt"])).astype(jnp.int32)
+    return dict(rho=take_p(lay, o["rhoP"]), p=take_p(lay, o["pP"]),
+                drho_dt=take_p(lay, o["drP"]),
+                vx=take_h(lay, o["vxH"]), vy=take_h(lay, o["vyH"]),
+                fx=take_p(lay, o["fxP"]), fy=take_p(lay, o["fyP"]),
+                fpx=take_p(lay, o["fpxP"]), fpy=take_p(lay, o["fpyP"]),
+                vol=take_h(lay, o["volH"]), b11=take_h(lay, o["b11H"]),
+                b12=take_h(lay, o["b12H"]), b21=take_h(lay, o["b21H"]),
+                b22=take_h(lay, o["b22H"]),
+                x=take_p(lay, o["xP"]), y=take_p(lay, o["yP"]),
+                n_pairs=n_pairs)
 
 
 # ---------------------------------------------------------------------------
@@ -652,13 +739,14 @@ def _shear_kernel(*refs, spec, R, L, n_groups, nyp, scalars):
     mu, wf = scalars
     nx, K, h = spec.nx, spec.K, spec.h
     (xC, yC, pidC, volC, vxC, b11C, b12C, b21C, b22C,
-     wvxC, wbotC, wtopC) = refs[:12]
-    tbO, ttO = refs[12], refs[13]
-    scr = refs[14:14 + 7]
-    aside = refs[21:]
+     wvxC, wbotC, wtopC, occs) = refs[:13]
+    tbO, ttO = refs[13], refs[14]
+    scr = refs[15:15 + 7]
+    aside = refs[22:]
 
     grp = pl.program_id(0)
     g0 = grp * R
+    kmax = occs[grp, 0]
 
     _stage(scr[0], xC, g0, spec, R)
     _stage(scr[1], yC, g0, spec, R)
@@ -696,30 +784,29 @@ def _shear_kernel(*refs, spec, R, L, n_groups, nyp, scalars):
                 tt + jnp.sum(f_pair * wtopv, axis=0, keepdims=True))
 
     zero = jnp.zeros((1, L), xC.dtype)
-    tb, tt = jax.lax.fori_loop(0, K, kbody, (zero, zero))
+    tb, tt = jax.lax.fori_loop(0, kmax, kbody, (zero, zero))
     tbO[pl.ds(grp, 1), :] = tb
     ttO[pl.ds(grp, 1), :] = tt
 
 
-def fused_wall_shear(spec: GridSpec, lay: FusedLayout, x, y, vx, vol,
-                     b11, b12, b21, b22, mu, wall_visc_factor: float = 4.0):
-    """Wall-shear monitor on the (freshly rebuilt) layout — ordering as
-    the reference (after the rebuild, SPH_Poiseuille.m:280-283; formula
-    sph_physics_mex.c:1713-1742)."""
+def fused_wall_shear_cores(spec: GridSpec, lay: FusedLayout, xH, yH, vxH,
+                           volH, b11H, b12H, b21H, b22H, mu,
+                           wall_visc_factor: float = 4.0):
+    """Wall-shear monitor over cores already in the (freshly rebuilt)
+    layout — ordering as the reference (after the rebuild,
+    SPH_Poiseuille.m:280-283; formula sph_physics_mex.c:1713-1742)."""
     R, L, n_groups, nyp = plan(spec)
-    dtype = x.dtype
-    cores = [make_core(spec, lay.pidx, v)
-             for v in (x, y)] + [lay.pid_c] + \
-        [make_core(spec, lay.pidx, v) for v in (vol, vx, b11, b12, b21,
-                                                b22)] + \
-        [lay.wvx_c, lay.wbot_c, lay.wtop_c]
+    dtype = xH.dtype
+    cores = [xH, yH, lay.pid_c, volH, vxH, b11H, b12H, b21H, b22H,
+             lay.wvx_c, lay.wbot_c, lay.wtop_c]
     kernel = functools.partial(_shear_kernel, spec=spec, R=R, L=L,
                                n_groups=n_groups, nyp=nyp,
                                scalars=(mu, wall_visc_factor))
     tb, tt = pl.pallas_call(
         kernel,
         grid=(n_groups,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 12,
+        in_specs=([pl.BlockSpec(memory_space=pltpu.VMEM)] * 12
+                  + [pl.BlockSpec(memory_space=pltpu.SMEM)]),
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
         out_shape=[jax.ShapeDtypeStruct((n_groups, L), dtype)] * 2,
         scratch_shapes=(
@@ -728,5 +815,16 @@ def fused_wall_shear(spec: GridSpec, lay: FusedLayout, x, y, vx, vol,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(*cores)
+    )(*cores, lay.occ)
     return -jnp.sum(tb) / spec.DL, -jnp.sum(tt) / spec.DL
+
+
+def fused_wall_shear(spec: GridSpec, lay: FusedLayout, x, y, vx, vol,
+                     b11, b12, b21, b22, mu, wall_visc_factor: float = 4.0):
+    """Per-particle wrapper of ``fused_wall_shear_cores``."""
+    xH, yH, volH, vxH, b11H, b12H, b21H, b22H = (
+        make_core(spec, lay.pidx, v)
+        for v in (x, y, vol, vx, b11, b12, b21, b22))
+    return fused_wall_shear_cores(
+        spec, lay, xH, yH, vxH, volH, b11H, b12H, b21H, b22H, mu,
+        wall_visc_factor)

@@ -33,6 +33,8 @@ the config for compatibility.
 
 from __future__ import annotations
 
+import math
+
 from typing import NamedTuple
 
 import jax
@@ -485,7 +487,14 @@ class PallasCellEngine(CellEngine):
     (sweep, row-group) grid with every pair intermediate resident in VMEM
     — per step only the tiny per-particle state crosses HBM. The ``geom``
     slot of the engine API carries the step's pair count (the kernel
-    replaces the geometry structure entirely)."""
+    replaces the geometry structure entirely).
+
+    The interval loop carries state AS CORES: per step, positions and
+    velocities flow kernel-output -> wrap -> halo-ify -> kernel-input
+    without ever materializing particle order (scatter/take are general
+    gathers — measured ~2x the kernel's own cost when done per step).
+    Per-particle order exists only at candidate rebuilds (every
+    ``rebuild_every`` steps) and at interval ends."""
 
     def __init__(self, cfg: SPHConfig, scene: Scene, s_multiple: int = 1):
         super().__init__(cfg, scene, s_multiple=s_multiple)
@@ -515,6 +524,14 @@ class PallasCellEngine(CellEngine):
         x = periodic_wrap(spec, out["x"])
         y = out["y"]
 
+        def fused_guard(lay):
+            if spec.skin <= 0.0:
+                return jnp.asarray(False)
+            ddx = x - self._pc.take_p(lay, lay.refx_p)
+            ddx = ddx - spec.DL * jnp.round(ddx / spec.DL)
+            ddy = y - self._pc.take_p(lay, lay.refy_p)
+            return jnp.max(ddx * ddx + ddy * ddy) > (0.5 * spec.skin) ** 2
+
         if cfg.rebuild_every <= 1:
             lay = self._rebuild(x, y)
             guard = jnp.asarray(False)
@@ -523,7 +540,7 @@ class PallasCellEngine(CellEngine):
                 step_idx % cfg.rebuild_every == 0,
                 lambda: self._rebuild(x, y),
                 lambda: lay)
-            guard = cg.displacement_exceeded(spec, lay, x, y)
+            guard = fused_guard(lay)
 
         # same static tau-observation schedule as CellEngine._step
         if tau_prev is None or cfg.step_log_every > 0:
@@ -588,6 +605,167 @@ class PallasCellEngine(CellEngine):
 
     def _count_pairs(self, lay, geom):
         return geom  # carried from the step's density kernel
+
+    def _run_interval(self, state: State, lay, geom, interval_len,
+                      g=None, mu=None, t_base=None, step_base=None):
+        """Core-carry interval loop (see class docstring). Falls back to
+        the generic per-particle loop when in-loop logging is on (the log
+        path needs per-step particle-order observables and is not a hot
+        path)."""
+        if self.cfg.step_log_every > 0:
+            return CellEngine._run_interval(
+                self, state, lay, geom, interval_len, g=g, mu=mu,
+                t_base=t_base, step_base=step_base)
+
+        cfg, spec, pc = self.cfg, self.spec, self._pc
+        g = cfg.gravity_g if g is None else g
+        mu = cfg.mu if mu is None else mu
+        nu = mu / cfg.rho0
+        dtype = state.x.dtype
+        interval_len = jnp.asarray(interval_len, dtype)
+        scalars = (cfg.rho0, cfg.p0, cfg.c_f, cfg.inv_sigma0,
+                   cfg.transport_coeff, g, mu, cfg.wall_visc_factor)
+
+        def scatter_all(lay, s: State):
+            cores = dict(
+                xP=pc.make_plain(spec, lay.pidx, s.x),
+                yP=pc.make_plain(spec, lay.pidx, s.y),
+                vxH=pc.make_core(spec, lay.pidx, s.vx),
+                vyH=pc.make_core(spec, lay.pidx, s.vy),
+                drP=pc.make_plain(spec, lay.pidx, s.drho_dt),
+                rhoP=pc.make_plain(spec, lay.pidx, s.rho),
+                pP=pc.make_plain(spec, lay.pidx, s.p),
+                fxP=pc.make_plain(spec, lay.pidx, s.fx),
+                fyP=pc.make_plain(spec, lay.pidx, s.fy),
+                fpxP=pc.make_plain(spec, lay.pidx, s.fpx),
+                fpyP=pc.make_plain(spec, lay.pidx, s.fpy),
+                volH=pc.make_core(spec, lay.pidx, s.vol),
+                b11H=pc.make_core(spec, lay.pidx, s.b11),
+                b12H=pc.make_core(spec, lay.pidx, s.b12),
+                b21H=pc.make_core(spec, lay.pidx, s.b21),
+                b22H=pc.make_core(spec, lay.pidx, s.b22))
+            return cores
+
+        def body(carry):
+            (lay, cores, pidx_e, hidx_e, npairs, t_local, t_comp, n_steps,
+             overflow, guard) = carry
+            remain = interval_len - t_local
+            # v_max over cores: empty slots and walls hold exactly 0, halo
+            # copies duplicate interior magnitudes, so the unmasked max
+            # equals the fluid max
+            v2 = cores["vxH"] ** 2 + cores["vyH"] ** 2
+            v_max = jnp.sqrt(jnp.max(v2))
+            dt_acoustic = 0.25 * cfg.h / jnp.maximum(cfg.c_f + v_max, 1e-12)
+            dt_viscous = 0.125 * cfg.h * cfg.h / max(nu, 1e-12)
+            dt_body = 0.25 * math.sqrt(cfg.h / max(abs(g), 1e-12))
+            dt = jnp.maximum(jnp.minimum(
+                jnp.minimum(dt_acoustic, dt_viscous),
+                jnp.minimum(jnp.asarray(dt_body, dtype), remain)), 1e-12)
+
+            xH = pc.halo_ify(spec, cores["xP"])
+            yH = pc.halo_ify(spec, cores["yP"])
+            o = pc.fused_step_cores(
+                spec, lay, xH, yH, cores["vxH"], cores["vyH"],
+                cores["drP"], dt, *scalars)
+            o["xP"] = jnp.mod(o["xP"], spec.DL)  # periodic wrap (walls and
+            # empty slots are invariant under mod: x in [0, DL) resp. 0)
+
+            def do_rebuild():
+                xp = o["xP"].reshape(-1)[lay.pidx]
+                yp = o["yP"].reshape(-1)[lay.pidx]
+                vxp = o["vxH"].reshape(-1)[lay.hidx]
+                vyp = o["vyH"].reshape(-1)[lay.hidx]
+                drp = o["drP"].reshape(-1)[lay.pidx]
+                nl = self._rebuild(xp, yp)
+                return (nl,
+                        pc.make_plain(spec, nl.pidx, xp),
+                        pc.make_plain(spec, nl.pidx, yp),
+                        pc.make_core(spec, nl.pidx, vxp),
+                        pc.make_core(spec, nl.pidx, vyp),
+                        pc.make_plain(spec, nl.pidx, drp),
+                        jnp.asarray(False))
+
+            def no_rebuild():
+                # skin displacement guard vs the rebuild reference cores
+                # (plain; dropped/empty slots are 0 on both sides)
+                ddx = o["xP"] - lay.refx_p
+                ddx = ddx - spec.DL * jnp.round(ddx / spec.DL)
+                ddy = o["yP"] - lay.refy_p
+                grd = (jnp.max(ddx * ddx + ddy * ddy)
+                       > (0.5 * spec.skin) ** 2) if spec.skin > 0.0 \
+                    else jnp.asarray(False)
+                return (lay, o["xP"], o["yP"], o["vxH"], o["vyH"],
+                        o["drP"], grd)
+
+            if cfg.rebuild_every <= 1:
+                lay2, xP, yP, vxH, vyH, drP, grd = do_rebuild()
+            else:
+                lay2, xP, yP, vxH, vyH, drP, grd = jax.lax.cond(
+                    n_steps % cfg.rebuild_every == 0, do_rebuild,
+                    no_rebuild)
+
+            new_cores = dict(
+                xP=xP, yP=yP, vxH=vxH, vyH=vyH, drP=drP,
+                rhoP=o["rhoP"], pP=o["pP"], fxP=o["fxP"], fyP=o["fyP"],
+                fpxP=o["fpxP"], fpyP=o["fpyP"], volH=o["volH"],
+                b11H=o["b11H"], b12H=o["b12H"], b21H=o["b21H"],
+                b22H=o["b22H"])
+            npairs = jnp.round(jnp.sum(o["cnt"])).astype(jnp.int32)
+            t_local, t_comp = _t_add(t_local, t_comp, dt)
+            return (lay2, new_cores, lay.pidx, lay.hidx, npairs, t_local,
+                    t_comp, n_steps + 1, overflow | lay2.overflow,
+                    guard | grd)
+
+        def cond(carry):
+            return carry[5] < interval_len
+
+        zero = jnp.asarray(0.0, dtype)
+        cores0 = scatter_all(lay, state)
+        # aux fields (rho..b22) are collected with the EXEC-layout indices
+        # — the layout in effect when the last step produced them (a
+        # trailing rebuild changes lay but not the produced cores)
+        carry = (lay, cores0, lay.pidx, lay.hidx,
+                 jnp.asarray(geom, jnp.int32), zero, zero,
+                 jnp.asarray(0, jnp.int32), lay.overflow,
+                 jnp.asarray(False))
+        (lay, cores, pidx_e, hidx_e, n_pairs, _, _, n_steps, overflow,
+         guard) = jax.lax.while_loop(cond, body, carry)
+
+        def tk_p(c):
+            return c.reshape(-1)[pidx_e]
+
+        def tk_h(c):
+            return c.reshape(-1)[hidx_e]
+
+        # NOTE: xP/yP/vxH/vyH/drP in `cores` are in the CURRENT lay (a
+        # trailing rebuild re-scattered them); the aux outputs are in the
+        # exec layout. Collect each with its own indices.
+        state = State(
+            x=cores["xP"].reshape(-1)[lay.pidx],
+            y=cores["yP"].reshape(-1)[lay.pidx],
+            vx=cores["vxH"].reshape(-1)[lay.hidx],
+            vy=cores["vyH"].reshape(-1)[lay.hidx],
+            rho=tk_p(cores["rhoP"]), p=tk_p(cores["pP"]),
+            drho_dt=cores["drP"].reshape(-1)[lay.pidx],
+            fx=tk_p(cores["fxP"]), fy=tk_p(cores["fyP"]),
+            fpx=tk_p(cores["fpxP"]), fpy=tk_p(cores["fpyP"]),
+            vol=tk_h(cores["volH"]), b11=tk_h(cores["b11H"]),
+            b12=tk_h(cores["b12H"]), b21=tk_h(cores["b21H"]),
+            b22=tk_h(cores["b22H"]))
+
+        # interval-final wall shear on the POST-rebuild layout — the
+        # reference's ordering (monitor after rebuild,
+        # SPH_Poiseuille.m:280-283); value-identical to the final step's
+        # in-loop tau (test_cellgrid.py observation-schedule proof)
+        tau_b, tau_t = self._final_shear(state, lay, None, mu)
+
+        nf = spec.n_fluid
+        v_max = jnp.sqrt(jnp.max(state.vx[:nf] ** 2 + state.vy[:nf] ** 2))
+        return IntervalResult(state=state, cands=lay, geom=n_pairs,
+                              tau_bottom=tau_b, tau_top=tau_t,
+                              n_steps=n_steps, overflow=overflow,
+                              skin_guard=guard, v_max=v_max,
+                              n_pairs=n_pairs)
 
 
 def make_engine(cfg: SPHConfig, scene: Scene):
