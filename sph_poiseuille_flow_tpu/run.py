@@ -70,6 +70,10 @@ def main(argv=None) -> int:
                         help="run a vmapped multi-workload sweep over these "
                              "viscosities (g derived per workload to keep "
                              "U_bulk fixed) instead of a single run")
+    parser.add_argument("--sweep-lane-chunk", type=int, default=None,
+                        help="max sweep lanes resident in HBM at once; "
+                             "chunks run sequentially (memory/time "
+                             "trade-off for large-dp sweeps on one chip)")
     args = parser.parse_args(argv)
 
     if args.postprocess_only:
@@ -97,7 +101,7 @@ def main(argv=None) -> int:
         from .parallel import make_workloads, run_sweep
         mus = [float(v) for v in args.sweep_mus.split(",") if v.strip()]
         gs, mus = make_workloads(cfg, mus)
-        out = run_sweep(cfg, gs, mus)
+        out = run_sweep(cfg, gs, mus, lane_chunk=args.sweep_lane_chunk)
         for k, (mu_k, l2_k) in enumerate(zip(mus, out["l2_errors"])):
             print(f"workload {k}: mu={mu_k:g} L2={100 * l2_k:.3f}%"
                   f" {'PASS' if l2_k < 0.05 else 'FAIL'}")
