@@ -237,12 +237,13 @@ def _flush(out, acc, g0, spec, R, halo: bool):
             out[g0 + r, :, 0:nx] = blk
 
 
-def _geometry(spec, k, sx, sy, spid):
+def _geometry(spec, k, sx, sy, spid, need_w=True):
     """Masked pair geometry of slot k vs the (9K, L) candidate slabs:
     (pida, af, r_safe, ex, ey, w, dw, m1, mw). Formulas cite
     sph_neighbor_search_mex.c:115-133 (cubic spline), :359-363 (min-image).
     Every returned field is 0 in invalid lanes, so masked accumulation
-    never sees staged garbage."""
+    never sees staged garbage. ``need_w=False`` elides the W branch (only
+    the density sweep consumes W; the returned w is then garbage)."""
     K, h = spec.K, spec.h
     xa = sx[pl.ds(4 * K + k, 1), :]
     ya = sy[pl.ds(4 * K + k, 1), :]
@@ -258,8 +259,11 @@ def _geometry(spec, k, sx, sy, spid):
     sigma = 10.0 / (7.0 * math.pi * h * h)
     q = r / h
     tq = 2.0 - q
-    w = jnp.where(q < 1.0, sigma * (1.0 - 1.5 * q * q + 0.75 * q ** 3),
-                  jnp.where(q < 2.0, sigma * 0.25 * tq ** 3, 0.0))
+    if need_w:
+        w = jnp.where(q < 1.0, sigma * (1.0 - 1.5 * q * q + 0.75 * q ** 3),
+                      jnp.where(q < 2.0, sigma * 0.25 * tq ** 3, 0.0))
+    else:
+        w = q  # unused by the caller (density is the only W consumer)
     dw = jnp.where(q < 1.0, sigma * (-3.0 * q + 2.25 * q * q) / h,
                    jnp.where(q < 2.0, -sigma * 0.75 * tq * tq / h, 0.0))
     fvalid = valid.astype(xa.dtype)
@@ -267,7 +271,7 @@ def _geometry(spec, k, sx, sy, spid):
     m1 = fvalid * (pidv < spec.n_fluid).astype(xa.dtype)
     af = ((pida >= 0) & (pida < spec.n_fluid)).astype(xa.dtype)
     return (pida, af, r, dx * inv_r * fvalid, dy * inv_r * fvalid,
-            w * fvalid, dw * fvalid, m1, fvalid - m1)
+            w * fvalid if need_w else w, dw * fvalid, m1, fvalid - m1)
 
 
 def _w0(h):
@@ -288,7 +292,8 @@ _N_ACC = 8          # (K, L) output accumulators
 _N_ASIDE = 5        # (K, L) aside buffers
 
 
-def _step_kernel(*refs, spec, R, L, n_groups, nyp, scalars):
+def _step_kernel(*refs, spec, R, L, n_groups, nyp, scalars,
+                 sweep_offset=0):
     (rho0, p0, c_f, inv_sigma0, transport_coeff, g, mu, wf) = scalars
     nx, K, h = spec.nx, spec.K, spec.h
     NK = 9 * K
@@ -304,7 +309,7 @@ def _step_kernel(*refs, spec, R, L, n_groups, nyp, scalars):
     aside = refs[base + _N_SCR_FULL + _N_ACC:
                  base + _N_SCR_FULL + _N_ACC + _N_ASIDE]
 
-    sweep = pl.program_id(0)
+    sweep = pl.program_id(0) + sweep_offset
     grp = pl.program_id(1)
     g0 = grp * R
     dt = dts[0, 0]
@@ -394,7 +399,7 @@ def _step_kernel(*refs, spec, R, L, n_groups, nyp, scalars):
 
         def kbody(k, carry):
             pida, af, r, ex, ey, w, dw, m1, mw = _geometry(
-                spec, k, scr[0], scr[1], scr[2])
+                spec, k, scr[0], scr[1], scr[2], need_w=False)
             volv = scr[3][:, :]
             rf = r * dw * volv * (m1 + mw)
             a11 = -jnp.sum(rf * ex * ex, axis=0, keepdims=True)
@@ -459,7 +464,7 @@ def _step_kernel(*refs, spec, R, L, n_groups, nyp, scalars):
 
         def kbody(k, carry):
             pida, af, r, ex, ey, w, dw, m1, mw = _geometry(
-                spec, k, scr[0], scr[1], scr[2])
+                spec, k, scr[0], scr[1], scr[2], need_w=False)
             A = pl.ds(4 * K + k, 1)
             volv = scr[3][:, :]
             vxa, vxv = scr[4][A, :], scr[4][:, :]
@@ -578,7 +583,7 @@ def _step_kernel(*refs, spec, R, L, n_groups, nyp, scalars):
 
         def kbody(k, carry):
             pida, af, r, ex, ey, w, dw, m1, mw = _geometry(
-                spec, k, scr[0], scr[1], scr[2])
+                spec, k, scr[0], scr[1], scr[2], need_w=False)
             A = pl.ds(4 * K + k, 1)
             kA = pl.ds(k, 1)
             volv = scr[3][:, :]
@@ -764,7 +769,7 @@ def _shear_kernel(*refs, spec, R, L, n_groups, nyp, scalars):
     def kbody(k, carry):
         tb, tt = carry
         pida, af, r, ex, ey, w, dw, m1, mw = _geometry(
-            spec, k, scr[0], scr[1], scr[2])
+            spec, k, scr[0], scr[1], scr[2], need_w=False)
         A = pl.ds(4 * K + k, 1)
         kA = pl.ds(k, 1)
         volv = scr[3][:, :]
