@@ -292,14 +292,35 @@ _N_ACC = 8          # (K, L) output accumulators
 _N_ASIDE = 5        # (K, L) aside buffers
 
 
+def _when(cond):
+    """pl.when that also accepts a Python bool (static sweep selection in
+    the chunk kernel, where each sweep body is emitted exactly once)."""
+    if isinstance(cond, bool):
+        return (lambda f: f()) if cond else (lambda f: None)
+    return pl.when(cond)
+
+
 def _step_kernel(*refs, spec, R, L, n_groups, nyp, scalars,
                  sweep_offset=0):
+    occs, dts = refs[9], refs[10]
+    sweep = pl.program_id(0) + sweep_offset
+    grp = pl.program_id(1)
+    _kernel_body(refs, spec=spec, R=R, L=L, n_groups=n_groups, nyp=nyp,
+                 scalars=scalars, sweep=sweep, grp=grp, dt=dts[0, 0],
+                 kmax=occs[grp, 0])
+
+
+def _kernel_body(refs, *, spec, R, L, n_groups, nyp, scalars, sweep, grp,
+                 dt, kmax):
+    """One (sweep, grp) cell of the fused step. ``refs`` uses the v2
+    positional layout (occs/dts slots present but unread — sweep/grp/dt/
+    kmax arrive as parameters so the chunk kernel can drive the same body
+    from in-kernel loops)."""
     (rho0, p0, c_f, inv_sigma0, transport_coeff, g, mu, wf) = scalars
     nx, K, h = spec.nx, spec.K, spec.h
     NK = 9 * K
 
-    (xC, yC, vxC, vyC, drC, pidC, massC, wvxC, wvyC, occs, dts) = \
-        refs[:_N_IN]
+    (xC, yC, vxC, vyC, drC, pidC, massC, wvxC, wvyC) = refs[:9]
     (volO, b11O, b12O, b21O, b22O, vx2O, vy2O,
      rhoO, pO, drhoO, fxO, fyO, fpxO, fpyO, x2O, y2O,
      cntO) = refs[_N_IN:_N_IN + _N_OUT]
@@ -309,11 +330,7 @@ def _step_kernel(*refs, spec, R, L, n_groups, nyp, scalars,
     aside = refs[base + _N_SCR_FULL + _N_ACC:
                  base + _N_SCR_FULL + _N_ACC + _N_ASIDE]
 
-    sweep = pl.program_id(0) + sweep_offset
-    grp = pl.program_id(1)
     g0 = grp * R
-    dt = dts[0, 0]
-    kmax = occs[grp, 0]
     fdtype = xC.dtype
 
     def zero_accs(n_used):
@@ -324,7 +341,7 @@ def _step_kernel(*refs, spec, R, L, n_groups, nyp, scalars,
             acc[i][:, :] = jnp.zeros((K, L), fdtype)
 
     # ---- sweep 0: density (sph_physics_mex.c:178-234) ----
-    @pl.when(sweep == 0)
+    @_when(sweep == 0)
     def _density():
         # one-time: zero the y-halo rows of every core written by later
         # sweeps (their interiors are fully flushed; only the halo rows
@@ -389,7 +406,7 @@ def _step_kernel(*refs, spec, R, L, n_groups, nyp, scalars,
             pHS[nyp + 1, :, :] = jnp.zeros((K, nx + 2), fdtype)
 
     # ---- sweep 1: kernel gradient correction (c:239-365) ----
-    @pl.when(sweep == 1)
+    @_when(sweep == 1)
     def _kgc():
         _stage(scr[0], xC, g0, spec, R)
         _stage(scr[1], yC, g0, spec, R)
@@ -442,7 +459,7 @@ def _step_kernel(*refs, spec, R, L, n_groups, nyp, scalars,
     # ---- sweep 2: viscous + shifting + Riemann pressure + kick ----
     # (c:466-545 viscous, :633-709 shifting, :867-957 pressure,
     #  :1388-1409 kick)
-    @pl.when(sweep == 2)
+    @_when(sweep == 2)
     def _forces():
         rhoHS, pHS, dxsS, dysS = refs[-4], refs[-3], refs[-2], refs[-1]
         _stage(scr[0], xC, g0, spec, R)
@@ -563,7 +580,7 @@ def _step_kernel(*refs, spec, R, L, n_groups, nyp, scalars,
     # ---- sweep 3: continuity + finalize + position update ----
     # (c:1073-1116 continuity, :1429-1451 finalize; positions:
     #  shift + two half drifts, SPH_Poiseuille.m:254-283 ordering)
-    @pl.when(sweep == 3)
+    @_when(sweep == 3)
     def _continuity():
         rhoHS, pHS, dxsS, dysS = refs[-4], refs[-3], refs[-2], refs[-1]
         _stage(scr[0], xC, g0, spec, R)
@@ -663,6 +680,197 @@ def _fused_call(spec: GridSpec, cores, occ, dt, scalars):
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(*cores, occ, jnp.asarray(dt, dtype).reshape(1, 1))
+
+
+# ---------------------------------------------------------------------------
+# the multi-step chunk kernel (v3): up to `rebuild_every` steps per call
+# ---------------------------------------------------------------------------
+
+_C_IN = 14   # xH0 yH0 vxH0 vyH0 drP0 pidC massC wvxC wvyC refxP refyP (VMEM)
+#              + occs, params(1,4), nsub(1,1) (SMEM)
+_C_STATE = 5  # leading outputs: xHs yHs vxHs vyHs drPs (working state)
+
+
+def _chunk_kernel(*refs, spec, R, L, n_groups, nyp, scalars):
+    """Run up to ``nsub`` whole physics steps inside ONE kernel: the state
+    cores live in the output refs (VMEM) across steps, the four pair
+    sweeps reuse ``_kernel_body`` verbatim, and the per-step XLA glue
+    (verlet dt, periodic wrap, skin guard, halo rebuild) happens in-kernel
+    on whole cores. Per call the only HBM traffic is the one-time core
+    in/out; the per-call fixed cost (~0.09 ms on v5e) amortizes over the
+    chunk. The candidate REBUILD stays XLA-side (argsort/scatter), so a
+    chunk ends exactly at the rebuild cadence — semantics are identical to
+    the single-step loop (same steps, same rebuild points, same guard
+    observation schedule)."""
+    (rho0, p0, c_f, inv_sigma0, transport_coeff, g, mu, wf) = scalars
+    nx, K, h = spec.nx, spec.K, spec.h
+    DL = spec.DL
+
+    (xH0, yH0, vxH0, vyH0, drP0, pidC, massC, wvxC, wvyC, refxP, refyP,
+     occs, params, nsub) = refs[:_C_IN]
+    state = refs[_C_IN:_C_IN + _C_STATE]
+    outs17 = refs[_C_IN + _C_STATE:_C_IN + _C_STATE + _N_OUT]
+    steps_o = refs[_C_IN + _C_STATE + _N_OUT]
+    t_o = refs[_C_IN + _C_STATE + _N_OUT + 1]
+    guard_o = refs[_C_IN + _C_STATE + _N_OUT + 2]
+    scratch = refs[_C_IN + _C_STATE + _N_OUT + 3:]
+    xHs, yHs, vxHs, vyHs, drPs = state
+    (volO, b11O, b12O, b21O, b22O, vx2O, vy2O,
+     rhoO, pO, drhoO, fxO, fyO, fpxO, fpyO, x2O, y2O, cntO) = outs17
+    fdtype = xH0.dtype
+
+    # working state starts as the incoming cores (y-halo rows arrive 0 and
+    # are never written again; x-halo columns are refreshed every step)
+    xHs[...] = xH0[...]
+    yHs[...] = yH0[...]
+    vxHs[...] = vxH0[...]
+    vyHs[...] = vyH0[...]
+    drPs[...] = drP0[...]
+
+    body_refs = ((xHs, yHs, vxHs, vyHs, drPs, pidC, massC, wvxC, wvyC,
+                  occs, params) + tuple(outs17) + tuple(scratch))
+
+    nu = mu / rho0
+    dt_visc = 0.125 * h * h / max(nu, 1e-12)
+    dt_body = 0.25 * math.sqrt(h / max(abs(g), 1e-12))
+    interval = params[0, 2]
+    n_sub = nsub[0, 0]
+    skin_on = spec.skin > 0.0
+    thr = (0.5 * spec.skin) ** 2 if skin_on else 0.0
+
+    def cond(c):
+        steps, t, tc, grd = c
+        return jnp.logical_and(steps < n_sub, t < interval)
+
+    def step_body(c):
+        steps, t, tc, grd = c
+        v_max = jnp.sqrt(jnp.max(vxHs[...] ** 2 + vyHs[...] ** 2))
+        remain = interval - t
+        dt_ac = 0.25 * h / jnp.maximum(c_f + v_max, 1e-12)
+        dt = jnp.maximum(
+            jnp.minimum(jnp.minimum(dt_ac, jnp.asarray(dt_visc, fdtype)),
+                        jnp.minimum(jnp.asarray(dt_body, fdtype), remain)),
+            1e-12)
+
+        for s in range(4):
+            def gbody(grp, carry, s=s):
+                _kernel_body(body_refs, spec=spec, R=R, L=L,
+                             n_groups=n_groups, nyp=nyp, scalars=scalars,
+                             sweep=s, grp=grp, dt=dt, kmax=occs[grp, 0])
+                return carry
+            jax.lax.fori_loop(0, n_groups, gbody, 0)
+
+        # periodic wrap on the plain position core (walls/empties invariant)
+        x2w = x2O[...]
+        x2w = x2w - jnp.floor(x2w / DL) * DL
+        x2O[...] = x2w
+        y2w = y2O[...]
+
+        # skin displacement guard vs rebuild reference cores; the final
+        # step of a FULL chunk is followed by an XLA-side rebuild and does
+        # not contribute (matching the single-step loop's rebuild branch)
+        if skin_on:
+            ddx = x2w - refxP[...]
+            ddx = ddx - DL * jnp.round(ddx / DL)
+            ddy = y2w - refyP[...]
+            tripped = jnp.max(ddx * ddx + ddy * ddy) > thr
+            grd = jnp.logical_or(
+                grd, jnp.logical_and(tripped, steps + 1 < n_sub))
+
+        # halo-ify back into the working state (wrapped x columns; nx < 3
+        # keeps halos zero per make_core's dedup)
+        xHs[1:nyp + 1, :, 1:nx + 1] = x2w
+        yHs[1:nyp + 1, :, 1:nx + 1] = y2w
+        if nx >= 3:
+            xHs[1:nyp + 1, :, 0:1] = x2w[:, :, nx - 1:nx]
+            xHs[1:nyp + 1, :, nx + 1:nx + 2] = x2w[:, :, 0:1]
+            yHs[1:nyp + 1, :, 0:1] = y2w[:, :, nx - 1:nx]
+            yHs[1:nyp + 1, :, nx + 1:nx + 2] = y2w[:, :, 0:1]
+        vxHs[...] = vx2O[...]
+        vyHs[...] = vy2O[...]
+        drPs[...] = drhoO[...]
+
+        # Kahan-compensated interval clock (stepper._t_add)
+        yk = dt - tc
+        t2 = t + yk
+        tc2 = (t2 - t) - yk
+        return (steps + 1, t2, tc2, grd)
+
+    steps, t, tc, grd = jax.lax.while_loop(
+        cond, step_body,
+        (jnp.asarray(0, jnp.int32), params[0, 0], params[0, 1],
+         jnp.asarray(False)))
+    steps_o[0, 0] = steps
+    t_o[0, 0] = t
+    t_o[0, 1] = tc
+    guard_o[0, 0] = grd.astype(jnp.int32)
+
+
+def fused_chunk_call(spec: GridSpec, lay: FusedLayout, xH, yH, vxH, vyH,
+                     drP, t_local, t_comp, interval_len, n_sub,
+                     rho0: float, p0: float, c_f: float, inv_sigma0: float,
+                     transport_coeff: float, g, mu,
+                     wall_visc_factor: float = 4.0):
+    """Run up to ``n_sub`` steps in one kernel call. Returns
+    (state_cores_dict, aux_outs_dict, steps_done, t_new, t_comp_new,
+    guard)."""
+    _check_static_scalars(g, mu)
+    R, L, n_groups, nyp = plan(spec)
+    nx, K = spec.nx, spec.K
+    dtype = xH.dtype
+    halo_shape = (nyp + 2, K, nx + 2)
+    plain_shape = (nyp, K, nx)
+    scalars = (rho0, p0, c_f, inv_sigma0, transport_coeff, g, mu,
+               wall_visc_factor)
+    kernel = functools.partial(_chunk_kernel, spec=spec, R=R, L=L,
+                               n_groups=n_groups, nyp=nyp, scalars=scalars)
+    params = jnp.stack([jnp.asarray(t_local, dtype),
+                        jnp.asarray(t_comp, dtype),
+                        jnp.asarray(interval_len, dtype),
+                        jnp.asarray(0.0, dtype)]).reshape(1, 4)
+    nsub = jnp.asarray(n_sub, jnp.int32).reshape(1, 1)
+    out_shape = (
+        [jax.ShapeDtypeStruct(halo_shape, dtype)] * 4      # state halo'd
+        + [jax.ShapeDtypeStruct(plain_shape, dtype)]       # drPs
+        + [jax.ShapeDtypeStruct(halo_shape, dtype)] * _HALO_OUT
+        + [jax.ShapeDtypeStruct(plain_shape, dtype)] * _PLAIN_OUT
+        + [jax.ShapeDtypeStruct((n_groups, L), dtype)]     # cnt
+        + [jax.ShapeDtypeStruct((1, 1), jnp.int32),        # steps
+           jax.ShapeDtypeStruct((1, 2), dtype),            # t, t_comp
+           jax.ShapeDtypeStruct((1, 1), jnp.int32)])       # guard
+    outs = pl.pallas_call(
+        kernel,
+        grid=(),
+        in_specs=([pl.BlockSpec(memory_space=pltpu.VMEM)] * 11
+                  + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 3),
+        out_specs=([pl.BlockSpec(memory_space=pltpu.VMEM)]
+                   * (_C_STATE + _N_OUT)
+                   + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 3),
+        out_shape=out_shape,
+        scratch_shapes=(
+            [pltpu.VMEM((9 * K, L), dtype) for _ in range(_N_SCR_FULL)]
+            + [pltpu.VMEM((K, L), dtype) for _ in range(_N_ACC)]
+            + [pltpu.VMEM((K, L), dtype) for _ in range(_N_ASIDE)]
+            + [pltpu.VMEM(halo_shape, dtype),    # rho_half core
+               pltpu.VMEM(halo_shape, dtype),    # p_half core
+               pltpu.VMEM(plain_shape, dtype),   # dx_shift core
+               pltpu.VMEM(plain_shape, dtype)]), # dy_shift core
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(xH, yH, vxH, vyH, drP, lay.pid_c, lay.mass_c, lay.wvx_c, lay.wvy_c,
+      lay.refx_p, lay.refy_p, lay.occ, params, nsub)
+    (xHs, yHs, vxHs, vyHs, drPs,
+     volH, b11H, b12H, b21H, b22H, vx2H, vy2H,
+     rhoP, pP, drhoP, fxP, fyP, fpxP, fpyP, x2P, y2P, cnt,
+     steps_o, t_o, guard_o) = outs
+    st = dict(xH=xHs, yH=yHs, vxH=vxHs, vyH=vyHs, drP=drPs,
+              xP=x2P, yP=y2P)
+    aux = dict(volH=volH, b11H=b11H, b12H=b12H, b21H=b21H, b22H=b22H,
+               rhoP=rhoP, pP=pP, drP=drhoP, fxP=fxP, fyP=fyP,
+               fpxP=fpxP, fpyP=fpyP, cnt=cnt)
+    return (st, aux, steps_o[0, 0], t_o[0, 0], t_o[0, 1],
+            guard_o[0, 0] > 0)
 
 
 def _check_static_scalars(g, mu):

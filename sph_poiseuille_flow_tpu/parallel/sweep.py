@@ -77,10 +77,52 @@ def _run_lanes(cfg: SPHConfig, engine, scene: Scene, state0, cands0, geom0,
     return states, total_steps, wall
 
 
+def _run_lane_static(cfg: SPHConfig, scene: Scene, g_k: float, mu_k: float,
+                     log) -> tuple:
+    """Advance ONE workload to cfg.end_time on an engine compiled with the
+    lane's (g, mu) baked in as static scalars — the path for the fused
+    Pallas engine (its kernels take config scalars as Python floats, so
+    each lane gets its own compiled program; sequential lanes also keep
+    peak HBM at a single lane's footprint)."""
+    import dataclasses
+    cfg_k = dataclasses.replace(cfg, gravity_g=float(g_k), mu=float(mu_k))
+    engine = make_engine(cfg_k, scene)
+    state, cands, geom, overflow = engine.init(initial_state(cfg_k, scene))
+    if bool(overflow):
+        raise RuntimeError("neighbor cell capacity exceeded at init")
+    t = 0.0
+    steps = 0
+    wall = 0.0
+    eps = 1e-9
+    while t < cfg.end_time - eps:
+        target = min(t + cfg.output_interval, cfg.end_time)
+        t0 = time.perf_counter()
+        res = engine.run_interval(state, cands, geom,
+                                  np.float32(target - t))
+        jax.block_until_ready(res.state.x)
+        wall += time.perf_counter() - t0
+        if bool(res.overflow):
+            raise RuntimeError("neighbor cell capacity exceeded in sweep")
+        if bool(res.skin_guard):
+            raise RuntimeError("neighbor skin guard tripped in sweep; "
+                               "reduce rebuild_every")
+        state, cands, geom = res.state, res.cands, res.geom
+        steps += int(res.n_steps)
+        t = target
+    log(f"  lane done: mu={mu_k:g} steps={steps} "
+        f"vmax={float(res.v_max):.4f} wall={wall:.1f}s")
+    bcast = lambda a: np.asarray(a)[None]
+    return jax.tree.map(bcast, jax.device_get(state)), steps, wall
+
+
 def run_sweep(cfg: SPHConfig, gs, mus, log=print,
               lane_chunk: Optional[int] = None) -> dict:
-    """Run ``len(gs)`` workloads to cfg.end_time, vmapped in chunks of
-    ``lane_chunk`` lanes (None = all at once).
+    """Run ``len(gs)`` workloads to cfg.end_time.
+
+    Engine-dependent strategy: the XLA engines (cellgrid/gather) accept
+    traced (g, mu), so lanes run vmapped in chunks of ``lane_chunk``
+    (None = all at once); the fused Pallas engine takes static scalars,
+    so lanes run sequentially, each on its own compiled program.
 
     Returns per-workload L2 errors vs each workload's own analytic profile,
     final states, and throughput. All workloads share the scene geometry.
@@ -92,25 +134,33 @@ def run_sweep(cfg: SPHConfig, gs, mus, log=print,
     chunk = n_work if lane_chunk is None else max(1, int(lane_chunk))
 
     scene = build_scene(cfg)
-    engine = make_engine(cfg, scene)
-    state0 = initial_state(cfg, scene)
-    state0, cands0, geom0, overflow = engine.init(state0)
-    if bool(overflow):
-        raise RuntimeError("neighbor cell capacity exceeded at init")
-
     chunk_states = []
     total_steps = 0
     wall = 0.0
-    for c0 in range(0, n_work, chunk):
-        c1 = min(c0 + chunk, n_work)
-        if n_work > chunk:
-            log(f"sweep lanes {c0}..{c1 - 1} (chunked: {chunk} of "
-                f"{n_work} lanes resident)")
-        st, steps, w = _run_lanes(cfg, engine, scene, state0, cands0,
-                                  geom0, gs[c0:c1], mus[c0:c1], log)
-        chunk_states.append(jax.device_get(st))
-        total_steps += steps
-        wall += w
+    if cfg.engine == "pallas":
+        for k in range(n_work):
+            log(f"sweep lane {k}/{n_work} (sequential static-scalar "
+                f"compile, engine=pallas)")
+            st, steps, w = _run_lane_static(cfg, scene, gs[k], mus[k], log)
+            chunk_states.append(st)
+            total_steps += steps
+            wall += w
+    else:
+        engine = make_engine(cfg, scene)
+        state0 = initial_state(cfg, scene)
+        state0, cands0, geom0, overflow = engine.init(state0)
+        if bool(overflow):
+            raise RuntimeError("neighbor cell capacity exceeded at init")
+        for c0 in range(0, n_work, chunk):
+            c1 = min(c0 + chunk, n_work)
+            if n_work > chunk:
+                log(f"sweep lanes {c0}..{c1 - 1} (chunked: {chunk} of "
+                    f"{n_work} lanes resident)")
+            st, steps, w = _run_lanes(cfg, engine, scene, state0, cands0,
+                                      geom0, gs[c0:c1], mus[c0:c1], log)
+            chunk_states.append(jax.device_get(st))
+            total_steps += steps
+            wall += w
     states = jax.tree.map(lambda *xs: np.concatenate(xs, axis=0),
                           *chunk_states)
 

@@ -628,8 +628,8 @@ class PallasCellEngine(CellEngine):
 
         def scatter_all(lay, s: State):
             cores = dict(
-                xP=pc.make_plain(spec, lay.pidx, s.x),
-                yP=pc.make_plain(spec, lay.pidx, s.y),
+                xH=pc.make_core(spec, lay.pidx, s.x),
+                yH=pc.make_core(spec, lay.pidx, s.y),
                 vxH=pc.make_core(spec, lay.pidx, s.vx),
                 vyH=pc.make_core(spec, lay.pidx, s.vy),
                 drP=pc.make_plain(spec, lay.pidx, s.drho_dt),
@@ -646,74 +646,56 @@ class PallasCellEngine(CellEngine):
                 b22H=pc.make_core(spec, lay.pidx, s.b22))
             return cores
 
+        # chunked stepping: one kernel call advances up to rebuild_every
+        # steps entirely in VMEM (ops/fused_cell._chunk_kernel); the
+        # candidate rebuild stays out here. Chunk sizes follow the
+        # single-step cadence exactly — rebuilds land after interval-step
+        # indices 0, rebuild_every, 2*rebuild_every, ... so the first
+        # chunk is 1 step and subsequent chunks rebuild_every steps.
+        rb = max(1, int(cfg.rebuild_every))
+
         def body(carry):
             (lay, cores, pidx_e, hidx_e, npairs, t_local, t_comp, n_steps,
              overflow, guard) = carry
-            remain = interval_len - t_local
-            # v_max over cores: empty slots and walls hold exactly 0, halo
-            # copies duplicate interior magnitudes, so the unmasked max
-            # equals the fluid max
-            v2 = cores["vxH"] ** 2 + cores["vyH"] ** 2
-            v_max = jnp.sqrt(jnp.max(v2))
-            dt_acoustic = 0.25 * cfg.h / jnp.maximum(cfg.c_f + v_max, 1e-12)
-            dt_viscous = 0.125 * cfg.h * cfg.h / max(nu, 1e-12)
-            dt_body = 0.25 * math.sqrt(cfg.h / max(abs(g), 1e-12))
-            dt = jnp.maximum(jnp.minimum(
-                jnp.minimum(dt_acoustic, dt_viscous),
-                jnp.minimum(jnp.asarray(dt_body, dtype), remain)), 1e-12)
-
-            xH = pc.halo_ify(spec, cores["xP"])
-            yH = pc.halo_ify(spec, cores["yP"])
-            o = pc.fused_step_cores(
-                spec, lay, xH, yH, cores["vxH"], cores["vyH"],
-                cores["drP"], dt, *scalars)
-            o["xP"] = jnp.mod(o["xP"], spec.DL)  # periodic wrap (walls and
-            # empty slots are invariant under mod: x in [0, DL) resp. 0)
+            n_sub = jnp.where(n_steps == 0, 1, rb).astype(jnp.int32) \
+                if rb > 1 else jnp.asarray(1, jnp.int32)
+            st, aux, steps_done, t2, tc2, grd = pc.fused_chunk_call(
+                spec, lay, cores["xH"], cores["yH"], cores["vxH"],
+                cores["vyH"], cores["drP"], t_local, t_comp, interval_len,
+                n_sub, *scalars)
 
             def do_rebuild():
-                xp = o["xP"].reshape(-1)[lay.pidx]
-                yp = o["yP"].reshape(-1)[lay.pidx]
-                vxp = o["vxH"].reshape(-1)[lay.hidx]
-                vyp = o["vyH"].reshape(-1)[lay.hidx]
-                drp = o["drP"].reshape(-1)[lay.pidx]
+                xp = st["xP"].reshape(-1)[lay.pidx]
+                yp = st["yP"].reshape(-1)[lay.pidx]
+                vxp = st["vxH"].reshape(-1)[lay.hidx]
+                vyp = st["vyH"].reshape(-1)[lay.hidx]
+                drp = st["drP"].reshape(-1)[lay.pidx]
                 nl = self._rebuild(xp, yp)
                 return (nl,
-                        pc.make_plain(spec, nl.pidx, xp),
-                        pc.make_plain(spec, nl.pidx, yp),
+                        pc.make_core(spec, nl.pidx, xp),
+                        pc.make_core(spec, nl.pidx, yp),
                         pc.make_core(spec, nl.pidx, vxp),
                         pc.make_core(spec, nl.pidx, vyp),
-                        pc.make_plain(spec, nl.pidx, drp),
-                        jnp.asarray(False))
+                        pc.make_plain(spec, nl.pidx, drp))
 
             def no_rebuild():
-                # skin displacement guard vs the rebuild reference cores
-                # (plain; dropped/empty slots are 0 on both sides)
-                ddx = o["xP"] - lay.refx_p
-                ddx = ddx - spec.DL * jnp.round(ddx / spec.DL)
-                ddy = o["yP"] - lay.refy_p
-                grd = (jnp.max(ddx * ddx + ddy * ddy)
-                       > (0.5 * spec.skin) ** 2) if spec.skin > 0.0 \
-                    else jnp.asarray(False)
-                return (lay, o["xP"], o["yP"], o["vxH"], o["vyH"],
-                        o["drP"], grd)
+                return (lay, st["xH"], st["yH"], st["vxH"], st["vyH"],
+                        st["drP"])
 
-            if cfg.rebuild_every <= 1:
-                lay2, xP, yP, vxH, vyH, drP, grd = do_rebuild()
-            else:
-                lay2, xP, yP, vxH, vyH, drP, grd = jax.lax.cond(
-                    n_steps % cfg.rebuild_every == 0, do_rebuild,
-                    no_rebuild)
+            # rebuild iff the chunk completed its full cadence (its last
+            # step landed on a rebuild point)
+            lay2, xH, yH, vxH, vyH, drP = jax.lax.cond(
+                steps_done == n_sub, do_rebuild, no_rebuild)
 
             new_cores = dict(
-                xP=xP, yP=yP, vxH=vxH, vyH=vyH, drP=drP,
-                rhoP=o["rhoP"], pP=o["pP"], fxP=o["fxP"], fyP=o["fyP"],
-                fpxP=o["fpxP"], fpyP=o["fpyP"], volH=o["volH"],
-                b11H=o["b11H"], b12H=o["b12H"], b21H=o["b21H"],
-                b22H=o["b22H"])
-            npairs = jnp.round(jnp.sum(o["cnt"])).astype(jnp.int32)
-            t_local, t_comp = _t_add(t_local, t_comp, dt)
-            return (lay2, new_cores, lay.pidx, lay.hidx, npairs, t_local,
-                    t_comp, n_steps + 1, overflow | lay2.overflow,
+                xH=xH, yH=yH, vxH=vxH, vyH=vyH, drP=drP,
+                rhoP=aux["rhoP"], pP=aux["pP"], fxP=aux["fxP"],
+                fyP=aux["fyP"], fpxP=aux["fpxP"], fpyP=aux["fpyP"],
+                volH=aux["volH"], b11H=aux["b11H"], b12H=aux["b12H"],
+                b21H=aux["b21H"], b22H=aux["b22H"])
+            npairs = jnp.round(jnp.sum(aux["cnt"])).astype(jnp.int32)
+            return (lay2, new_cores, lay.pidx, lay.hidx, npairs, t2,
+                    tc2, n_steps + steps_done, overflow | lay2.overflow,
                     guard | grd)
 
         def cond(carry):
@@ -722,7 +704,7 @@ class PallasCellEngine(CellEngine):
         zero = jnp.asarray(0.0, dtype)
         cores0 = scatter_all(lay, state)
         # aux fields (rho..b22) are collected with the EXEC-layout indices
-        # — the layout in effect when the last step produced them (a
+        # — the layout in effect when the last chunk produced them (a
         # trailing rebuild changes lay but not the produced cores)
         carry = (lay, cores0, lay.pidx, lay.hidx,
                  jnp.asarray(geom, jnp.int32), zero, zero,
@@ -737,12 +719,12 @@ class PallasCellEngine(CellEngine):
         def tk_h(c):
             return c.reshape(-1)[hidx_e]
 
-        # NOTE: xP/yP/vxH/vyH/drP in `cores` are in the CURRENT lay (a
+        # NOTE: xH/yH/vxH/vyH/drP in `cores` are in the CURRENT lay (a
         # trailing rebuild re-scattered them); the aux outputs are in the
         # exec layout. Collect each with its own indices.
         state = State(
-            x=cores["xP"].reshape(-1)[lay.pidx],
-            y=cores["yP"].reshape(-1)[lay.pidx],
+            x=cores["xH"].reshape(-1)[lay.hidx],
+            y=cores["yH"].reshape(-1)[lay.hidx],
             vx=cores["vxH"].reshape(-1)[lay.hidx],
             vy=cores["vyH"].reshape(-1)[lay.hidx],
             rho=tk_p(cores["rhoP"]), p=tk_p(cores["pP"]),
