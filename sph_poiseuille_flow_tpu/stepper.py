@@ -665,18 +665,27 @@ class PallasCellEngine(CellEngine):
                 n_sub, *scalars)
 
             def do_rebuild():
-                xp = st["xP"].reshape(-1)[lay.pidx]
-                yp = st["yP"].reshape(-1)[lay.pidx]
-                vxp = st["vxH"].reshape(-1)[lay.hidx]
-                vyp = st["vyH"].reshape(-1)[lay.hidx]
-                drp = st["drP"].reshape(-1)[lay.pidx]
-                nl = self._rebuild(xp, yp)
+                # packed takes (one row-gather per index set) ...
+                pk = jnp.stack([st["xP"].reshape(-1),
+                                st["yP"].reshape(-1),
+                                st["drP"].reshape(-1)], axis=-1)[lay.pidx]
+                hk = jnp.stack([st["vxH"].reshape(-1),
+                                st["vyH"].reshape(-1)], axis=-1)[lay.hidx]
+                xp, yp, drp = pk[:, 0], pk[:, 1], pk[:, 2]
+                vxp, vyp = hk[:, 0], hk[:, 1]
+                # ... and one packed scatter for the whole new layout: the
+                # state rides build_fused_layout's scatter; the ref cores
+                # ARE the new position cores
+                nl, (vxPc, vyPc, drPc) = pc.build_fused_layout(
+                    spec, xp, yp, self._mass, self._wall_vx,
+                    self._wall_vy, self._wall_y,
+                    state_fields=(vxp, vyp, drp))
                 return (nl,
-                        pc.make_core(spec, nl.pidx, xp),
-                        pc.make_core(spec, nl.pidx, yp),
-                        pc.make_core(spec, nl.pidx, vxp),
-                        pc.make_core(spec, nl.pidx, vyp),
-                        pc.make_plain(spec, nl.pidx, drp))
+                        pc.halo_ify(spec, nl.refx_p),
+                        pc.halo_ify(spec, nl.refy_p),
+                        pc.halo_ify(spec, vxPc),
+                        pc.halo_ify(spec, vyPc),
+                        drPc)
 
             def no_rebuild():
                 return (lay, st["xH"], st["yH"], st["vxH"], st["vyH"],
