@@ -127,7 +127,9 @@ class SPHConfig:
     inv_sigma0: float
     nu: float
     # --- TPU-native engine knobs (no reference counterpart) ---
-    engine: str = "cellgrid"        # "cellgrid" (gather-free) | "gather"
+    engine: str = "auto"            # "auto" (pallas on TPU, cellgrid
+    #                               elsewhere) | "pallas" | "cellgrid" |
+    #                               "gather"
     dtype: str = "float32"          # state dtype on device
     cell_capacity: int = 16         # max particles per neighbor-grid cell
     neighbor_capacity: int = 48     # compacted per-particle candidate slots

@@ -898,6 +898,26 @@ def fused_chunk_call(spec: GridSpec, lay: FusedLayout, xH, yH, vxH, vyH,
             guard_o[0, 0] > 0)
 
 
+def vmem_estimate_bytes(spec: GridSpec) -> int:
+    """Rough VMEM footprint of the chunk kernel: every core (state +
+    layout + outputs) plus the staging/accumulator scratch is resident at
+    once. Used by the engine factory's "auto" mode to fall back to the
+    XLA cellgrid engine for problems past the fused engine's envelope.
+    The estimate over-counts (Mosaic frees/aliases buffers), so the
+    factory threshold is calibrated to measured fits: dp=0.01 at
+    reference geometry (est. 16.9 MB) runs on a v5e; dp<=0.0075 does
+    not fit and falls back."""
+    R, L, n_groups, nyp = plan(spec)
+    nx, K = spec.nx, spec.K
+    lanes = -(-L // 128) * 128
+    halo = (nyp + 2) * K * -(-(nx + 2) // 128) * 128 * 4
+    plain = nyp * K * -(-nx // 128) * 128 * 4
+    n_halo = 11 + _HALO_OUT + 2      # ins + state outs + halo outs + rho/p
+    n_plain = 3 + _PLAIN_OUT + 2     # drP ins/outs + plain outs + shifts
+    scr = (_N_SCR_FULL * 9 * K + (_N_ACC + _N_ASIDE) * K) * lanes * 4
+    return n_halo * halo + n_plain * plain + scr
+
+
 def _check_static_scalars(g, mu):
     for s in (g, mu):
         if isinstance(s, jax.core.Tracer):

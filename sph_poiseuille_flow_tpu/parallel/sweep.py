@@ -137,7 +137,8 @@ def run_sweep(cfg: SPHConfig, gs, mus, log=print,
     chunk_states = []
     total_steps = 0
     wall = 0.0
-    if cfg.engine == "pallas":
+    from ..stepper import resolve_engine_name
+    if resolve_engine_name(cfg) == "pallas":
         for k in range(n_work):
             log(f"sweep lane {k}/{n_work} (sequential static-scalar "
                 f"compile, engine=pallas)")

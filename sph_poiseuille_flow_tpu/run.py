@@ -29,9 +29,10 @@ def main(argv=None) -> int:
                              "overridable via SPH_CONFIG_OVERRIDE)")
     parser.add_argument("--base-dir", default=".",
                         help="base directory for outputs")
-    parser.add_argument("--engine", default="cellgrid",
-                        choices=["cellgrid", "pallas", "gather"],
-                        help="hot-path implementation (cellgrid: gather-free "
+    parser.add_argument("--engine", default="auto",
+                        choices=["auto", "cellgrid", "pallas", "gather"],
+                        help="hot-path implementation (auto: pallas on TPU, "
+                             "cellgrid elsewhere; cellgrid: gather-free "
                              "padded cell layout; pallas: cellgrid with "
                              "fused Pallas pair kernels; gather: "
                              "packed-gather dense candidates)")

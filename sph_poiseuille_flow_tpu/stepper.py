@@ -759,13 +759,40 @@ class PallasCellEngine(CellEngine):
                               n_pairs=n_pairs)
 
 
+def resolve_engine_name(cfg: SPHConfig, scene: Scene = None) -> str:
+    """Resolve cfg.engine, mapping "auto" to the flagship fused Pallas
+    engine on TPU and the XLA cellgrid engine elsewhere (off-TPU the
+    Pallas kernels run interpreted — correct but slow). With a scene,
+    "auto" also falls back to cellgrid when the fused kernel's
+    everything-in-VMEM footprint would not fit the chip (~35k particles
+    at reference geometry on a 16 MB v5e)."""
+    if cfg.engine != "auto":
+        return cfg.engine
+    if jax.default_backend() != "tpu":
+        return "cellgrid"
+    if scene is not None:
+        from .ops import fused_cell as fc
+        spec = nbr.make_grid_spec(cfg, scene)
+        # calibrated to measured fits (the estimate over-counts and is
+        # non-monotonic in dp through lane padding): dp=0.01 (32.4k
+        # particles, est 16.9 MB) runs on a v5e; larger scenes fall back
+        if (fc.vmem_estimate_bytes(spec) > 17 * 1024 * 1024
+                or spec.n_total > 40000):
+            return "cellgrid"
+    return "pallas"
+
+
 def make_engine(cfg: SPHConfig, scene: Scene):
-    """Engine factory honoring cfg.engine ("cellgrid" | "gather")."""
+    """Engine factory honoring cfg.engine
+    ("auto" | "pallas" | "cellgrid" | "gather")."""
     if cfg.dtype == "float64" and not jax.config.jax_enable_x64:
         # without x64, float64 requests silently downcast to f32 — enable
         # it (only affects default dtypes of NEW traces; our arrays carry
         # explicit dtypes throughout)
         jax.config.update("jax_enable_x64", True)
+    name = resolve_engine_name(cfg, scene)
+    cfg = cfg if name == cfg.engine else __import__(
+        "dataclasses").replace(cfg, engine=name)
     if cfg.engine == "cellgrid":
         return CellEngine(cfg, scene)
     if cfg.engine == "pallas":
