@@ -899,14 +899,11 @@ def fused_chunk_call(spec: GridSpec, lay: FusedLayout, xH, yH, vxH, vyH,
 
 
 def vmem_estimate_bytes(spec: GridSpec) -> int:
-    """Rough VMEM footprint of the chunk kernel: every core (state +
-    layout + outputs) plus the staging/accumulator scratch is resident at
-    once. Used by the engine factory's "auto" mode to fall back to the
-    XLA cellgrid engine for problems past the fused engine's envelope.
-    The estimate over-counts (Mosaic frees/aliases buffers), so the
-    factory threshold is calibrated to measured fits: dp=0.01 at
-    reference geometry (est. 16.9 MB) runs on a v5e; dp<=0.0075 does
-    not fit and falls back."""
+    """Rough sum of the chunk kernel's core + scratch bytes. Purely
+    informational: Mosaic streams buffers through VMEM, so exceeding the
+    nominal on-chip capacity does NOT fail — dp=0.005 (124.8k particles,
+    est. 48 MB) compiles and sustains 1.71e7 psteps/s on a 16 MB-VMEM
+    v5e. Only the per-(sweep, group) working set must fit."""
     R, L, n_groups, nyp = plan(spec)
     nx, K = spec.nx, spec.K
     lanes = -(-L // 128) * 128

@@ -762,23 +762,14 @@ class PallasCellEngine(CellEngine):
 def resolve_engine_name(cfg: SPHConfig, scene: Scene = None) -> str:
     """Resolve cfg.engine, mapping "auto" to the flagship fused Pallas
     engine on TPU and the XLA cellgrid engine elsewhere (off-TPU the
-    Pallas kernels run interpreted — correct but slow). With a scene,
-    "auto" also falls back to cellgrid when the fused kernel's
-    everything-in-VMEM footprint would not fit the chip (~35k particles
-    at reference geometry on a 16 MB v5e)."""
+    Pallas kernels run interpreted — correct but slow)."""
     if cfg.engine != "auto":
         return cfg.engine
     if jax.default_backend() != "tpu":
         return "cellgrid"
-    if scene is not None:
-        from .ops import fused_cell as fc
-        spec = nbr.make_grid_spec(cfg, scene)
-        # calibrated to measured fits (the estimate over-counts and is
-        # non-monotonic in dp through lane padding): dp=0.01 (32.4k
-        # particles, est 16.9 MB) runs on a v5e; larger scenes fall back
-        if (fc.vmem_estimate_bytes(spec) > 17 * 1024 * 1024
-                or spec.n_total > 40000):
-            return "cellgrid"
+    # No size cap: Mosaic streams cores through VMEM past the nominal
+    # on-chip capacity — measured working up to dp=0.005 (124.8k
+    # particles, 1.71e7 psteps/s) on a single v5e.
     return "pallas"
 
 
