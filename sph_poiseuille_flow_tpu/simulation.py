@@ -141,10 +141,22 @@ class Simulation:
             target = min(self.t + cfg.output_interval, cfg.end_time)
             interval = target - self.t
             t0 = time.perf_counter()
-            res = self.engine.run_interval(
-                state, cands, geom, np.float32(interval),
-                t_base=np.float32(self.t), step_base=np.int32(self.step))
-            n_steps = int(res.n_steps)
+            try:
+                res = self.engine.run_interval(
+                    state, cands, geom, np.float32(interval),
+                    t_base=np.float32(self.t), step_base=np.int32(self.step))
+                n_steps = int(res.n_steps)
+            except Exception as e:  # noqa: BLE001 - re-raise with context
+                if (cfg.step_log_every > 0
+                        and "callback" in str(e).lower()):
+                    raise RuntimeError(
+                        "in-loop step logging (--step-log-every) emits "
+                        "device-side log lines via jax.debug.print, which "
+                        "requires host-callback support; this JAX platform "
+                        "does not provide it (e.g. the axon TPU tunnel). "
+                        "Re-run with --step-log-every 0 — per-interval "
+                        "logging is unaffected.") from e
+                raise
             elapsed = time.perf_counter() - t0
             self.wall_time_in_loop += elapsed
             self.total_steps_run += n_steps

@@ -57,6 +57,26 @@ def test_sweep_matches_single_runs():
     np.testing.assert_allclose(u_sweep, u_single, rtol=1e-4, atol=1e-6)
 
 
+def test_sweep_sequential_pallas_matches_vmapped():
+    """The fused engine's sequential static-scalar sweep path must produce
+    the same per-lane physics as the vmapped XLA path (same scene, same
+    workloads; f32 trajectory tolerance over a short run)."""
+    mus = [0.1, 0.25]
+    cfg_x = _quick_cfg(engine="cellgrid")
+    gs, mus_a = make_workloads(cfg_x, mus)
+    out_x = run_sweep(cfg_x, gs, mus_a, log=lambda s: None)
+    cfg_p = _quick_cfg(engine="pallas")
+    out_p = run_sweep(cfg_p, gs, mus_a, log=lambda s: None)
+    assert out_p["total_lane_steps"] == out_x["total_lane_steps"]
+    np.testing.assert_allclose(out_p["l2_errors"], out_x["l2_errors"],
+                               rtol=2e-2, atol=2e-3)
+    for k in range(2):
+        np.testing.assert_allclose(
+            np.asarray(out_p["final_states"].vx[k]),
+            np.asarray(out_x["final_states"].vx[k]),
+            rtol=5e-3, atol=5e-4)
+
+
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 def test_sharded_matches_single_device():
     cfg = _quick_cfg()
