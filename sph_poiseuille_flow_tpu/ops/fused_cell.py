@@ -24,8 +24,9 @@ Layout — "k-loop over slot rows":
 * each program stages the nine (dy, dx) window slabs of its R rows into a
   ``(9K, L=R*nx)`` VMEM scratch per field (static lane offsets only), then
   loops k = 0..K-1: the slot-side row is sublane ``4K+k`` of the center
-  slab — FREE, no relayout, no MXU, no precision trap (the bf16 lesson of
-  ops/pallas_cell.py does not apply: there are no matmuls here at all).
+  slab — FREE, no relayout, no MXU, no precision trap (the bf16 MXU
+  default-precision lesson, tests/test_pallas.py::test_expand_exact_beyond_bf16,
+  does not apply: there are no matmuls here at all).
 * per-k reductions are (9K, L) -> (1, L) sublane sums; per-slot algebra
   runs on (1, L) rows and accumulates into (K, L) buffers flushed to the
   output cores with their wrapped halo columns, so later sweeps can stage

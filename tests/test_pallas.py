@@ -108,16 +108,10 @@ def test_expand_exact_beyond_bf16():
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    from sph_poiseuille_flow_tpu.ops import pallas_cell as pc
+    from sph_poiseuille_flow_tpu.ops.fused_cell import _interpret
 
     K, bx = 4, 8
     rows = 9 * K
-
-    class SpecStub:
-        pass
-
-    spec = SpecStub()
-    spec.K = K
     rng = np.random.default_rng(3)
     # odd integers up to 2^13 and positions with full f32 mantissas: both
     # round under bf16
@@ -126,15 +120,22 @@ def test_expand_exact_beyond_bf16():
                  rng.random((rows, bx)) * 3.0).astype(np.float32)
 
     def body(v_ref, o_ref):
-        E = pc._tile_matrix(spec, bx, v_ref.dtype)
-        o_ref[:, :] = pc._expand(v_ref[:, :], E)
+        # one-hot lane-tiling matrix E[c, k*bx+c] = 1 (the retired
+        # pallas_cell engine's candidate-expansion pattern, kept as the
+        # minimal reproducer of the MXU default-precision trap)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (bx, K * bx), 1)
+        col = jax.lax.broadcasted_iota(jnp.int32, (bx, K * bx), 0)
+        E = (lane % bx == col).astype(v_ref.dtype)
+        o_ref[:, :] = jnp.dot(v_ref[:, :], E,
+                              preferred_element_type=v_ref.dtype,
+                              precision=jax.lax.Precision.HIGHEST)
 
     out = pl.pallas_call(
         body,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rows, K * bx), jnp.float32),
-        interpret=pc._interpret(),
+        interpret=_interpret(),
     )(jnp.asarray(v))
     expect = np.concatenate([v] * K, axis=1)
     np.testing.assert_array_equal(np.asarray(out), expect)
