@@ -156,6 +156,15 @@ class Simulation:
                         "does not provide it (e.g. the axon TPU tunnel). "
                         "Re-run with --step-log-every 0 — per-interval "
                         "logging is unaffected.") from e
+                if "UNAVAILABLE" in str(e) and "device error" in str(e):
+                    raise RuntimeError(
+                        "the device rejected a long-running dispatch (one "
+                        "output interval runs as a single device call; "
+                        "tunneled TPU attachments kill calls past ~60 s). "
+                        f"Interval ending t={target:.6f} was "
+                        f"{interval:.4g} s of simulated time — reduce "
+                        "output_interval so one interval stays well under "
+                        "the dispatch deadline.") from e
                 raise
             elapsed = time.perf_counter() - t0
             self.wall_time_in_loop += elapsed
