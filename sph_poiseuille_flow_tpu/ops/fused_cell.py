@@ -120,25 +120,11 @@ def halo_ify(spec: GridSpec, plain, fill: float = 0.0):
 
 
 def make_core(spec: GridSpec, pidx, vals, fill: float = 0.0):
-    """Packed scatter of a per-particle array into the halo'd core.
-
-    x halo = wrapped first/last cell columns, zeroed for nx < 3 where the
-    interior window already covers every cell (cellgrid._nview's dedup of
-    the reference's seen_neighbor stamp, sph_neighbor_search_mex.c:298-303);
-    y halo rows and row padding are ``fill`` (-1 for the pid core so dead
-    slots can never alias particle 0)."""
-    R, L, n_groups, nyp = plan(spec)
-    nx, K = spec.nx, spec.K
-    dtype = vals.dtype
-    flat = jnp.full((nyp * K * nx,), fill, dtype)
-    c3 = flat.at[pidx].set(vals, mode="drop").reshape(nyp, K, nx)
-    if nx >= 3:
-        left, right = c3[:, :, -1:], c3[:, :, :1]
-    else:
-        left = right = jnp.full((nyp, K, 1), fill, dtype)
-    c = jnp.concatenate([left, c3, right], axis=2)
-    pad = jnp.full((1, K, nx + 2), fill, dtype)
-    return jnp.concatenate([pad, c, pad], axis=0)
+    """Packed scatter of a per-particle array into the halo'd core:
+    plain scatter + halo construction (wrapped x columns, ``fill`` y-halo
+    rows; -1 fill for the pid core so dead slots can never alias
+    particle 0). See make_plain/halo_ify for the two halves."""
+    return halo_ify(spec, make_plain(spec, pidx, vals, fill), fill)
 
 
 def _packed_cores(spec: GridSpec, pidx, fields, fills):
@@ -897,23 +883,6 @@ def fused_chunk_call(spec: GridSpec, lay: FusedLayout, xH, yH, vxH, vyH,
                fpxP=fpxP, fpyP=fpyP, cnt=cnt)
     return (st, aux, steps_o[0, 0], t_o[0, 0], t_o[0, 1],
             guard_o[0, 0] > 0)
-
-
-def vmem_estimate_bytes(spec: GridSpec) -> int:
-    """Rough sum of the chunk kernel's core + scratch bytes. Purely
-    informational: Mosaic streams buffers through VMEM, so exceeding the
-    nominal on-chip capacity does NOT fail — dp=0.005 (124.8k particles,
-    est. 48 MB) compiles and sustains 1.71e7 psteps/s on a 16 MB-VMEM
-    v5e. Only the per-(sweep, group) working set must fit."""
-    R, L, n_groups, nyp = plan(spec)
-    nx, K = spec.nx, spec.K
-    lanes = -(-L // 128) * 128
-    halo = (nyp + 2) * K * -(-(nx + 2) // 128) * 128 * 4
-    plain = nyp * K * -(-nx // 128) * 128 * 4
-    n_halo = 11 + _HALO_OUT + 2      # ins + state outs + halo outs + rho/p
-    n_plain = 3 + _PLAIN_OUT + 2     # drP ins/outs + plain outs + shifts
-    scr = (_N_SCR_FULL * 9 * K + (_N_ACC + _N_ASIDE) * K) * lanes * 4
-    return n_halo * halo + n_plain * plain + scr
 
 
 def _check_static_scalars(g, mu):

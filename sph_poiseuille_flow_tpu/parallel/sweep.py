@@ -60,7 +60,8 @@ def _run_lanes(cfg: SPHConfig, engine, scene: Scene, state0, cands0, geom0,
     while t < cfg.end_time - eps:
         target = min(t + cfg.output_interval, cfg.end_time)
         t0 = time.perf_counter()
-        res = run(states, cands, geom, np.float32(target - t), g_arr, mu_arr)
+        res = run(states, cands, geom,
+                  np.dtype(cfg.dtype).type(target - t), g_arr, mu_arr)
         jax.block_until_ready(res.state.x)
         wall += time.perf_counter() - t0
         if bool(jnp.any(res.overflow)):
@@ -90,15 +91,17 @@ def _run_lane_static(cfg: SPHConfig, scene: Scene, g_k: float, mu_k: float,
     state, cands, geom, overflow = engine.init(initial_state(cfg_k, scene))
     if bool(overflow):
         raise RuntimeError("neighbor cell capacity exceeded at init")
+    ftype = np.dtype(cfg.dtype).type
     t = 0.0
     steps = 0
     wall = 0.0
+    v_max = float("nan")
     eps = 1e-9
     while t < cfg.end_time - eps:
         target = min(t + cfg.output_interval, cfg.end_time)
         t0 = time.perf_counter()
         res = engine.run_interval(state, cands, geom,
-                                  np.float32(target - t))
+                                  ftype(target - t))
         jax.block_until_ready(res.state.x)
         wall += time.perf_counter() - t0
         if bool(res.overflow):
@@ -108,9 +111,10 @@ def _run_lane_static(cfg: SPHConfig, scene: Scene, g_k: float, mu_k: float,
                                "reduce rebuild_every")
         state, cands, geom = res.state, res.cands, res.geom
         steps += int(res.n_steps)
+        v_max = float(res.v_max)
         t = target
     log(f"  lane done: mu={mu_k:g} steps={steps} "
-        f"vmax={float(res.v_max):.4f} wall={wall:.1f}s")
+        f"vmax={v_max:.4f} wall={wall:.1f}s")
     bcast = lambda a: np.asarray(a)[None]
     return jax.tree.map(bcast, jax.device_get(state)), steps, wall
 

@@ -33,6 +33,7 @@ the config for compatibility.
 
 from __future__ import annotations
 
+import dataclasses
 import math
 
 from typing import NamedTuple
@@ -508,7 +509,7 @@ class PallasCellEngine(CellEngine):
 
     def _step(self, state: State, lay, geom, step_idx, remain,
               g=None, mu=None, tau_prev=None, log_base=None):
-        cfg, spec, cg = self.cfg, self.spec, self._cg
+        cfg, spec = self.cfg, self.spec
         g = cfg.gravity_g if g is None else g
         mu = cfg.mu if mu is None else mu
         nu = mu / cfg.rho0
@@ -767,6 +768,10 @@ def resolve_engine_name(cfg: SPHConfig, scene: Scene = None) -> str:
         return cfg.engine
     if jax.default_backend() != "tpu":
         return "cellgrid"
+    if cfg.dtype == "float64":
+        # TPU hardware has no f64 vector units; the Mosaic kernels only
+        # compile in f32 — f64 runs use the XLA engine (which emulates)
+        return "cellgrid"
     # No size cap: Mosaic streams cores through VMEM past the nominal
     # on-chip capacity — measured working up to dp=0.005 (124.8k
     # particles, 1.71e7 psteps/s) on a single v5e.
@@ -782,8 +787,8 @@ def make_engine(cfg: SPHConfig, scene: Scene):
         # explicit dtypes throughout)
         jax.config.update("jax_enable_x64", True)
     name = resolve_engine_name(cfg, scene)
-    cfg = cfg if name == cfg.engine else __import__(
-        "dataclasses").replace(cfg, engine=name)
+    if name != cfg.engine:
+        cfg = dataclasses.replace(cfg, engine=name)
     if cfg.engine == "cellgrid":
         return CellEngine(cfg, scene)
     if cfg.engine == "pallas":
