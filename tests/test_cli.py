@@ -41,3 +41,26 @@ def test_cli_end_to_end(tmp_path):
          "--postprocess-only", str(tmp_path / "post.npz")],
         env=env, capture_output=True, text=True, timeout=120)
     assert "L2 relative error" in r2.stdout
+
+
+def test_resolve_engine_auto():
+    """engine="auto" maps to cellgrid off-TPU and for float64, and passes
+    explicit engine names through unchanged."""
+    from sph_poiseuille_flow_tpu.stepper import resolve_engine_name
+    import jax
+
+    from test_config import default_cfg
+
+    cfg = default_cfg()
+    assert cfg.engine == "auto"
+    resolved = resolve_engine_name(cfg)
+    if jax.default_backend() == "tpu":
+        assert resolved == "pallas"
+    else:
+        assert resolved == "cellgrid"
+    import dataclasses
+    cfg64 = dataclasses.replace(cfg, dtype="float64")
+    assert resolve_engine_name(cfg64) == "cellgrid"
+    for name in ("cellgrid", "pallas", "gather"):
+        assert resolve_engine_name(
+            dataclasses.replace(cfg, engine=name)) == name
