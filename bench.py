@@ -38,10 +38,12 @@ def main(dp: float = 0.025, n_timed_intervals: int = 2,
         DL=3.0, DH=1.0, dp=dp, rho0=1.0, mu=0.1, U_bulk=0.666667, c_f=15.0,
         end_time=20.0, output_interval=interval, sort_interval=100,
         restart_from_file=False,
-        # flagship engine: the fused Pallas mega-kernel with core-carried
-        # state (ops/fused_cell.py) — validated over the FULL 20 s run
-        # (L2 0.76% at dp=0.025, tau -> tau_target).
-        engine="pallas",
+        # flagship engine: "auto" resolves to the fused Pallas mega-kernel
+        # with core-carried state (ops/fused_cell.py) on TPU — validated
+        # over the FULL 20 s run (L2 0.76% at dp=0.025, tau -> tau_target)
+        # — and degrades to the XLA cellgrid engine off-TPU (where the
+        # Pallas kernels would run orders slower in interpret mode).
+        engine="auto",
         # skin-based candidate reuse: identical pair sets to every-step
         # rebuild (runtime displacement guard -> skin_guard flag).
         # cell_capacity K multiplies every (S, K, 9K) pair block; K=18 is

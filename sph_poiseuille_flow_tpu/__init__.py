@@ -3,7 +3,8 @@
 A from-scratch re-design of the capabilities of the reference MATLAB+C/MEX
 Poiseuille-flow solver (KIYOYOZU/SPH-Poiseuille-Flow) for TPU hardware:
 static-shape operators, dense neighbor matrices, whole-interval
-``lax.while_loop`` stepping, and ``shard_map``-based multi-chip scaling.
+``lax.while_loop`` stepping, and multi-chip scaling via GSPMD jit
+shardings over a ``jax.sharding.Mesh`` (parallel/sharding.py).
 """
 
 from .config import (SPHConfig, ConfigError, parse_ini, parse_ini_text,

@@ -404,8 +404,8 @@ def _kernel_body(refs, *, spec, R, L, n_groups, nyp, scalars, sweep, grp,
         cnt = jax.lax.fori_loop(0, kmax, kbody, jnp.zeros((1, L), fdtype))
         cntO[pl.ds(grp, 1), :] = cnt
         _flush(volO, acc[0], g0, spec, R, halo=True)
-        # rho_half/p_half cores live in scr[12]/scr[13]'s slots? no — they
-        # are dedicated halo'd scratch cores appended after aside buffers
+        # rho_half/p_half travel in dedicated halo'd scratch cores appended
+        # after the aside buffers (refs[-4:], see _fused_call scratch_shapes)
         rhoHS, pHS, dxsS, dysS = refs[-4], refs[-3], refs[-2], refs[-1]
         _flush(rhoHS, acc[1], g0, spec, R, halo=True)
         _flush(pHS, acc[2], g0, spec, R, halo=True)
@@ -756,6 +756,10 @@ def _chunk_kernel(*refs, spec, R, L, n_groups, nyp, scalars):
 
     def step_body(c):
         steps, t, tc, grd = c
+        # max over the entire core equals the fluid-only verlet_dt max by
+        # invariant: the kick writes 0 to every wall and empty slot
+        # (jnp.where(af > 0, ...) in sweep 2), so non-fluid slots can never
+        # contribute to v_max
         v_max = jnp.sqrt(jnp.max(vxHs[...] ** 2 + vyHs[...] ** 2))
         remain = interval - t
         dt_ac = 0.25 * h / jnp.maximum(c_f + v_max, 1e-12)

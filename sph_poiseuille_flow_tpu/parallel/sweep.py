@@ -143,6 +143,9 @@ def run_sweep(cfg: SPHConfig, gs, mus, log=print,
     wall = 0.0
     from ..stepper import resolve_engine_name
     if resolve_engine_name(cfg) == "pallas":
+        if lane_chunk is not None:
+            log("note: --sweep-lane-chunk is inapplicable on the pallas "
+                "sweep path (lanes already run one at a time); ignoring")
         for k in range(n_work):
             log(f"sweep lane {k}/{n_work} (sequential static-scalar "
                 f"compile, engine=pallas)")

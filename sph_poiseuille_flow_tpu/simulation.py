@@ -13,6 +13,7 @@ import os
 import time
 from typing import Callable, List, Optional
 
+import jax
 import numpy as np
 
 from .config import SPHConfig, env_override, load_config
@@ -146,7 +147,9 @@ class Simulation:
                     state, cands, geom, np.float32(interval),
                     t_base=np.float32(self.t), step_base=np.int32(self.step))
                 n_steps = int(res.n_steps)
-            except Exception as e:  # noqa: BLE001 - re-raise with context
+            except jax.errors.JaxRuntimeError as e:
+                # runtime (device/dispatch) failures only — anything else
+                # (tracing errors, user bugs) propagates untouched
                 if (cfg.step_log_every > 0
                         and "callback" in str(e).lower()):
                     raise RuntimeError(

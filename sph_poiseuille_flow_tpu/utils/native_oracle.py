@@ -1,8 +1,10 @@
 """ctypes bindings for the native host-side oracle (native/sph_oracle.cpp).
 
-Auto-builds ``libsph_oracle.so`` via CMake on first use (cached under
-native/build/). Used by the test suite as an independent golden
-implementation and available as a CPU fallback executor.
+Auto-builds ``libsph_oracle.so`` via CMake on first use, cached OUTSIDE the
+repo tree (``$SPH_ORACLE_BUILD_DIR`` or ``~/.cache/sph_oracle_build``) so
+generated artifacts never pollute the source tree. Used by the test suite
+as an independent golden implementation and available as a CPU fallback
+executor.
 """
 
 from __future__ import annotations
@@ -24,7 +26,9 @@ _i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
 
 def build_library(native_dir: str = _NATIVE_DIR) -> str:
     """Build (if needed) and return the path of libsph_oracle.so."""
-    build_dir = os.path.join(native_dir, "build")
+    build_dir = os.environ.get(
+        "SPH_ORACLE_BUILD_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "sph_oracle_build"))
     lib_path = os.path.join(build_dir, "libsph_oracle.so")
     src_path = os.path.join(native_dir, "sph_oracle.cpp")
     if (os.path.exists(lib_path)

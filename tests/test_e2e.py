@@ -136,7 +136,7 @@ def test_edge_seam_metrics(e2e_result):
     so the thresholds are breakage canaries: a genuine seam bug (e.g. a
     double-counted halo column) shifts them by O(0.2+). The tight
     reference-scale values are tracked by the full dp<=0.04 validation
-    artifacts (docs/ACCURACY.md)."""
+    artifacts (docs/VALIDATION.md)."""
     cfg, paths, sim, result = e2e_result
     assert result["edge_ux_gap"] < 0.15 * cfg.U_max
     assert result["edge_profile_L2"] < 0.06
