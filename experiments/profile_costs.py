@@ -1,0 +1,140 @@
+"""Round-3 cost structure: e2e step vs chunk kernel vs rebuild vs glue.
+
+All timings inside on-device fori_loops threading data deps (tunnel rules).
+"""
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sph_poiseuille_flow_tpu import build_scene, derive_config, initial_state
+from sph_poiseuille_flow_tpu.ops import fused_cell as fc
+from sph_poiseuille_flow_tpu.stepper import PallasCellEngine
+
+dp = float(sys.argv[1]) if len(sys.argv) > 1 else 0.025
+
+cfg = derive_config(
+    DL=3.0, DH=1.0, dp=dp, rho0=1.0, mu=0.1, U_bulk=0.666667, c_f=15.0,
+    end_time=20.0, output_interval=0.5, sort_interval=100,
+    restart_from_file=False, neighbor_skin=0.75 * dp, rebuild_every=8,
+    cell_capacity=18, neighbor_capacity=56)
+scene = build_scene(cfg)
+eng = PallasCellEngine(cfg, scene)
+spec = eng.spec
+state = initial_state(cfg, scene)
+state, lay, geom, _ = eng.init(state)
+
+# warm 1s of flow
+for _ in range(2):
+    res = eng.run_interval(state, lay, geom, np.float32(0.5))
+    state, lay, geom = res.state, res.cands, res.geom
+print("warmed", flush=True)
+
+scalars = (cfg.rho0, cfg.p0, cfg.c_f, cfg.inv_sigma0, cfg.transport_coeff,
+           cfg.gravity_g, cfg.mu, cfg.wall_visc_factor)
+xH = fc.make_core(spec, lay.pidx, state.x)
+yH = fc.make_core(spec, lay.pidx, state.y)
+vxH = fc.make_core(spec, lay.pidx, state.vx)
+vyH = fc.make_core(spec, lay.pidx, state.vy)
+drP = fc.make_plain(spec, lay.pidx, state.drho_dt)
+
+# 1. e2e: full run_interval
+t0 = time.perf_counter()
+res = eng.run_interval(state, lay, geom, np.float32(0.5))
+jax.block_until_ready(res.state.x)
+e2e = (time.perf_counter() - t0) / int(res.n_steps) * 1e3
+print(f"e2e per-step:        {e2e:.4f} ms  ({int(res.n_steps)} steps)",
+      flush=True)
+state2, lay2 = res.state, res.cands
+
+# 2. chunk-call-only loop (no rebuild, chained through state cores)
+N_CH = 60
+
+
+@jax.jit
+def chunk_loop(xH, yH, vxH, vyH, drP):
+    def body(i, c):
+        xh, yh, vxh, vyh, drp = c
+        st, aux, steps, t2, tc2, grd, stopped = fc.fused_chunk_call(
+            spec, lay, xh, yh, vxh, vyh, drp, 0.0, 0.0, 1e9, 8, *scalars)
+        return (st["xH"], st["yH"], st["vxH"], st["vyH"], st["drP"])
+    return jax.lax.fori_loop(0, N_CH, body, (xH, yH, vxH, vyH, drP))
+
+
+out = chunk_loop(xH, yH, vxH, vyH, drP)
+jax.block_until_ready(out)
+t0 = time.perf_counter()
+out = chunk_loop(xH, yH, vxH, vyH, drP)
+jax.block_until_ready(out)
+chunk8 = (time.perf_counter() - t0) / (N_CH * 8) * 1e3
+print(f"chunk(n_sub=8)/step: {chunk8:.4f} ms", flush=True)
+
+# 2b. chunk with n_sub=1 (isolates fixed cost: call does 1 step)
+@jax.jit
+def chunk1_loop(xH, yH, vxH, vyH, drP):
+    def body(i, c):
+        xh, yh, vxh, vyh, drp = c
+        st, aux, steps, t2, tc2, grd, stopped = fc.fused_chunk_call(
+            spec, lay, xh, yh, vxh, vyh, drp, 0.0, 0.0, 1e9, 1, *scalars)
+        return (st["xH"], st["yH"], st["vxH"], st["vyH"], st["drP"])
+    return jax.lax.fori_loop(0, N_CH, body, (xH, yH, vxH, vyH, drP))
+
+
+out = chunk1_loop(xH, yH, vxH, vyH, drP)
+jax.block_until_ready(out)
+t0 = time.perf_counter()
+out = chunk1_loop(xH, yH, vxH, vyH, drP)
+jax.block_until_ready(out)
+chunk1 = (time.perf_counter() - t0) / N_CH * 1e3
+print(f"chunk(n_sub=1)/call: {chunk1:.4f} ms", flush=True)
+per_step_in_kernel = (chunk8 * 8 - chunk1) / 7
+print(f"  => in-kernel step: {per_step_in_kernel:.4f} ms, "
+      f"fixed/call: {chunk1 - per_step_in_kernel:.4f} ms", flush=True)
+
+# 3. rebuild-only loop
+N_RB = 100
+
+
+@jax.jit
+def rebuild_loop(x, y):
+    def body(i, c):
+        x2, y2 = c
+        nl, (vxPc,) = fc.build_fused_layout(
+            spec, x2, y2, eng._mass, eng._wall_vx, eng._wall_vy,
+            eng._wall_y, state_fields=(x2,))
+        return (x2 + 0.0 * nl.refx_p.reshape(-1)[0], y2)
+    return jax.lax.fori_loop(0, N_RB, body, (x, y))
+
+
+out = rebuild_loop(state.x, state.y)
+jax.block_until_ready(out)
+t0 = time.perf_counter()
+out = rebuild_loop(state.x, state.y)
+jax.block_until_ready(out)
+rb = (time.perf_counter() - t0) / N_RB * 1e3
+print(f"rebuild/call:        {rb:.4f} ms (/8 = {rb/8:.4f} per step)",
+      flush=True)
+
+# 3b. argsort alone
+@jax.jit
+def sort_loop(x, y):
+    def body(i, c):
+        x2, y2 = c
+        from sph_poiseuille_flow_tpu.ops.cellgrid import assign_slots
+        slot, ovf = assign_slots(spec, x2, y2)
+        return (x2 + 0.0 * slot[0], y2)
+    return jax.lax.fori_loop(0, N_RB, body, (x, y))
+
+
+out = sort_loop(state.x, state.y)
+jax.block_until_ready(out)
+t0 = time.perf_counter()
+out = sort_loop(state.x, state.y)
+jax.block_until_ready(out)
+print(f"assign_slots/call:   {(time.perf_counter() - t0) / N_RB * 1e3:.4f} "
+      f"ms", flush=True)
+
+glue = e2e - chunk8 - rb / 8
+print(f"implied glue/step:   {glue:.4f} ms", flush=True)

@@ -702,6 +702,12 @@ _C_IN = 14   # xH0 yH0 vxH0 vyH0 drP0 pidC massC wvxC wvyC refxP refyP (VMEM)
 #              + occs, params(1,4), nsub(1,1) (SMEM)
 _C_STATE = 5  # leading outputs: xHs yHs vxHs vyHs drPs (working state)
 
+# soft-stop fraction of the skin budget: the chunk ends (and the caller
+# rebuilds) once the pair-relative displacement bound crosses this
+# fraction, long before the hard >skin validity line (per-step bound
+# growth is ~2 orders below the remaining margin)
+_GUARD_SOFT = 0.8
+
 
 def _chunk_kernel(*refs, spec, R, L, n_groups, nyp, scalars):
     """Run up to ``nsub`` whole physics steps inside ONE kernel: the state
@@ -748,14 +754,15 @@ def _chunk_kernel(*refs, spec, R, L, n_groups, nyp, scalars):
     interval = params[0, 2]
     n_sub = nsub[0, 0]
     skin_on = spec.skin > 0.0
-    thr = (0.5 * spec.skin) ** 2 if skin_on else 0.0
 
     def cond(c):
-        steps, t, tc, grd = c
-        return jnp.logical_and(steps < n_sub, t < interval)
+        steps, t, tc, stop, grd = c
+        return jnp.logical_and(steps < n_sub,
+                               jnp.logical_and(t < interval,
+                                               jnp.logical_not(stop)))
 
     def step_body(c):
-        steps, t, tc, grd = c
+        steps, t, tc, stop, grd = c
         # max over the entire core equals the fluid-only verlet_dt max by
         # invariant: the kick writes 0 to every wall and empty slot
         # (jnp.where(af > 0, ...) in sweep 2), so non-fluid slots can never
@@ -782,16 +789,45 @@ def _chunk_kernel(*refs, spec, R, L, n_groups, nyp, scalars):
         x2O[...] = x2w
         y2w = y2O[...]
 
-        # skin displacement guard vs rebuild reference cores; the final
-        # step of a FULL chunk is followed by an XLA-side rebuild and does
-        # not contribute (matching the single-step loop's rebuild branch)
+        # PAIR-RELATIVE displacement guard vs rebuild reference cores.
+        # Candidate validity only needs max over true pairs of
+        # |d_i - d_j| <= skin (uniform advection cancels): a pair closer
+        # than 2h now was within 2h+skin at rebuild, and its rebuild
+        # y-rows differ by <= 1 (|y_i0-y_j0| <= cand_cutoff = cell_y), so
+        # a per-2-row-window range of per-slot displacement bounds every
+        # pair difference. Wall slots contribute 0 (walls never move),
+        # covering fluid-wall pairs; empty slots get +-BIG sentinels.
+        # The chunk SOFT-stops at _GUARD_SOFT*skin (rebuild follows) and
+        # hard-flags only a genuine >skin violation.
         if skin_on:
             ddx = x2w - refxP[...]
             ddx = ddx - DL * jnp.round(ddx / DL)
             ddy = y2w - refyP[...]
-            tripped = jnp.max(ddx * ddx + ddy * ddy) > thr
-            grd = jnp.logical_or(
-                grd, jnp.logical_and(tripped, steps + 1 < n_sub))
+            pidI = pidC[1:nyp + 1, :, 1:nx + 1]
+            fl = jnp.logical_and(pidI >= 0, pidI < spec.n_fluid)
+            wl = pidI >= spec.n_fluid
+            BIG = jnp.asarray(1e30, fdtype)
+
+            def row_minmax(d):
+                dmx = jnp.where(fl, d, jnp.where(wl, 0.0, -BIG))
+                dmn = jnp.where(fl, d, jnp.where(wl, 0.0, BIG))
+                mx = jnp.max(jnp.max(dmx, axis=2, keepdims=True),
+                             axis=1, keepdims=True)
+                mn = jnp.min(jnp.min(dmn, axis=2, keepdims=True),
+                             axis=1, keepdims=True)
+                rng = jnp.maximum(
+                    jnp.maximum(mx[:-1], mx[1:])
+                    - jnp.minimum(mn[:-1], mn[1:]), 0.0)
+                return rng
+
+            rngx = row_minmax(ddx)
+            rngy = row_minmax(ddy)
+            bound2 = jnp.max(rngx * rngx + rngy * rngy)
+            stop = jnp.logical_or(
+                stop,
+                jnp.logical_and(bound2 > (_GUARD_SOFT * spec.skin) ** 2,
+                                steps + 1 < n_sub))
+            grd = jnp.logical_or(grd, bound2 > spec.skin ** 2)
 
         # halo-ify back into the working state (wrapped x columns; nx < 3
         # keeps halos zero per make_core's dedup)
@@ -810,16 +846,17 @@ def _chunk_kernel(*refs, spec, R, L, n_groups, nyp, scalars):
         yk = dt - tc
         t2 = t + yk
         tc2 = (t2 - t) - yk
-        return (steps + 1, t2, tc2, grd)
+        return (steps + 1, t2, tc2, stop, grd)
 
-    steps, t, tc, grd = jax.lax.while_loop(
+    steps, t, tc, stop, grd = jax.lax.while_loop(
         cond, step_body,
         (jnp.asarray(0, jnp.int32), params[0, 0], params[0, 1],
-         jnp.asarray(False)))
+         jnp.asarray(False), jnp.asarray(False)))
     steps_o[0, 0] = steps
     t_o[0, 0] = t
     t_o[0, 1] = tc
     guard_o[0, 0] = grd.astype(jnp.int32)
+    guard_o[0, 1] = stop.astype(jnp.int32)
 
 
 def fused_chunk_call(spec: GridSpec, lay: FusedLayout, xH, yH, vxH, vyH,
@@ -829,7 +866,9 @@ def fused_chunk_call(spec: GridSpec, lay: FusedLayout, xH, yH, vxH, vyH,
                      wall_visc_factor: float = 4.0):
     """Run up to ``n_sub`` steps in one kernel call. Returns
     (state_cores_dict, aux_outs_dict, steps_done, t_new, t_comp_new,
-    guard)."""
+    guard, stopped) — ``stopped`` means the chunk soft-stopped on the
+    pair-relative displacement bound and the caller must rebuild before
+    the next chunk; ``guard`` is the hard >skin validity flag."""
     _check_static_scalars(g, mu)
     R, L, n_groups, nyp = plan(spec)
     nx, K = spec.nx, spec.K
@@ -853,7 +892,7 @@ def fused_chunk_call(spec: GridSpec, lay: FusedLayout, xH, yH, vxH, vyH,
         + [jax.ShapeDtypeStruct((n_groups, L), dtype)]     # cnt
         + [jax.ShapeDtypeStruct((1, 1), jnp.int32),        # steps
            jax.ShapeDtypeStruct((1, 2), dtype),            # t, t_comp
-           jax.ShapeDtypeStruct((1, 1), jnp.int32)])       # guard
+           jax.ShapeDtypeStruct((1, 2), jnp.int32)])       # guard, stop
     outs = pl.pallas_call(
         kernel,
         grid=(),
@@ -886,7 +925,7 @@ def fused_chunk_call(spec: GridSpec, lay: FusedLayout, xH, yH, vxH, vyH,
                rhoP=rhoP, pP=pP, drP=drhoP, fxP=fxP, fyP=fyP,
                fpxP=fpxP, fpyP=fpyP, cnt=cnt)
     return (st, aux, steps_o[0, 0], t_o[0, 0], t_o[0, 1],
-            guard_o[0, 0] > 0)
+            guard_o[0, 0] > 0, guard_o[0, 1] > 0)
 
 
 def _check_static_scalars(g, mu):

@@ -533,12 +533,17 @@ class PallasCellEngine(CellEngine):
             ddy = y - self._pc.take_p(lay, lay.refy_p)
             return jnp.max(ddx * ddx + ddy * ddy) > (0.5 * spec.skin) ** 2
 
-        if cfg.rebuild_every <= 1:
+        # the single-step path keeps the conservative ABSOLUTE-displacement
+        # guard, so its cadence is clamped to 8 regardless of the chunk
+        # path's pair-relative cap (rebuild_every); this path only serves
+        # in-loop logging and tests, not the hot path
+        rb_eff = min(cfg.rebuild_every, 8)
+        if rb_eff <= 1:
             lay = self._rebuild(x, y)
             guard = jnp.asarray(False)
         else:
             lay = jax.lax.cond(
-                step_idx % cfg.rebuild_every == 0,
+                step_idx % rb_eff == 0,
                 lambda: self._rebuild(x, y),
                 lambda: lay)
             guard = fused_guard(lay)
@@ -649,21 +654,23 @@ class PallasCellEngine(CellEngine):
 
         # chunked stepping: one kernel call advances up to rebuild_every
         # steps entirely in VMEM (ops/fused_cell._chunk_kernel); the
-        # candidate rebuild stays out here. Chunk sizes follow the
-        # single-step cadence exactly — rebuilds land after interval-step
-        # indices 0, rebuild_every, 2*rebuild_every, ... so the first
-        # chunk is 1 step and subsequent chunks rebuild_every steps.
+        # candidate rebuild stays out here. Chunks run until the
+        # PAIR-RELATIVE displacement bound soft-stops them (uniform
+        # advection cancels pairwise, so chunks stretch far beyond the
+        # absolute-displacement cadence) or the ``rebuild_every`` cap /
+        # interval end hits; every drift- or cap-ended chunk is followed
+        # by a rebuild.
         rb = max(1, int(cfg.rebuild_every))
 
         def body(carry):
             (lay, cores, pidx_e, hidx_e, npairs, t_local, t_comp, n_steps,
              overflow, guard) = carry
-            n_sub = jnp.where(n_steps == 0, 1, rb).astype(jnp.int32) \
-                if rb > 1 else jnp.asarray(1, jnp.int32)
-            st, aux, steps_done, t2, tc2, grd = pc.fused_chunk_call(
-                spec, lay, cores["xH"], cores["yH"], cores["vxH"],
-                cores["vyH"], cores["drP"], t_local, t_comp, interval_len,
-                n_sub, *scalars)
+            n_sub = jnp.asarray(rb, jnp.int32)
+            st, aux, steps_done, t2, tc2, grd, stopped = \
+                pc.fused_chunk_call(
+                    spec, lay, cores["xH"], cores["yH"], cores["vxH"],
+                    cores["vyH"], cores["drP"], t_local, t_comp,
+                    interval_len, n_sub, *scalars)
 
             def do_rebuild():
                 # packed takes (one row-gather per index set) ...
@@ -692,10 +699,11 @@ class PallasCellEngine(CellEngine):
                 return (lay, st["xH"], st["yH"], st["vxH"], st["vyH"],
                         st["drP"])
 
-            # rebuild iff the chunk completed its full cadence (its last
-            # step landed on a rebuild point)
+            # rebuild iff the chunk ended at its cap or soft-stopped on
+            # drift (an interval-end stop needs no rebuild — the next
+            # interval's first chunk revalidates through the same guard)
             lay2, xH, yH, vxH, vyH, drP = jax.lax.cond(
-                steps_done == n_sub, do_rebuild, no_rebuild)
+                (steps_done == n_sub) | stopped, do_rebuild, no_rebuild)
 
             new_cores = dict(
                 xH=xH, yH=yH, vxH=vxH, vyH=vyH, drP=drP,
