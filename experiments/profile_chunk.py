@@ -16,7 +16,7 @@ eng = PallasCellEngine(cfg, scene)
 state, lay, geom, _ = eng.init(initial_state(cfg, scene))
 scal = (cfg.rho0, cfg.p0, cfg.c_f, cfg.inv_sigma0, cfg.transport_coeff,
         cfg.gravity_g, cfg.mu, cfg.wall_visc_factor)
-xH = fc.make_core(spec, lay.pidx, state.x)
+xH = fc.make_core(spec, lay.pidx, state.x, fill=fc._BIG_X, xshift=spec.DL)
 yH = fc.make_core(spec, lay.pidx, state.y)
 vxH = fc.make_core(spec, lay.pidx, state.vx)
 vyH = fc.make_core(spec, lay.pidx, state.vy)

@@ -34,7 +34,7 @@ print("warmed", flush=True)
 
 scalars = (cfg.rho0, cfg.p0, cfg.c_f, cfg.inv_sigma0, cfg.transport_coeff,
            cfg.gravity_g, cfg.mu, cfg.wall_visc_factor)
-xH = fc.make_core(spec, lay.pidx, state.x)
+xH = fc.make_core(spec, lay.pidx, state.x, fill=fc._BIG_X, xshift=spec.DL)
 yH = fc.make_core(spec, lay.pidx, state.y)
 vxH = fc.make_core(spec, lay.pidx, state.vx)
 vyH = fc.make_core(spec, lay.pidx, state.vy)
@@ -49,49 +49,46 @@ print(f"e2e per-step:        {e2e:.4f} ms  ({int(res.n_steps)} steps)",
       flush=True)
 state2, lay2 = res.state, res.cands
 
-# 2. chunk-call-only loop (no rebuild, chained through state cores)
+# 2. chunk-call-only loops: count REAL steps (the relative-displacement
+# guard can soft-stop chained chunks), and also time a skin=0 spec
+# (guard compiled out, chunks always run n_sub steps).
+import dataclasses
 N_CH = 60
 
 
-@jax.jit
-def chunk_loop(xH, yH, vxH, vyH, drP):
-    def body(i, c):
-        xh, yh, vxh, vyh, drp = c
-        st, aux, steps, t2, tc2, grd, stopped = fc.fused_chunk_call(
-            spec, lay, xh, yh, vxh, vyh, drp, 0.0, 0.0, 1e9, 8, *scalars)
-        return (st["xH"], st["yH"], st["vxH"], st["vyH"], st["drP"])
-    return jax.lax.fori_loop(0, N_CH, body, (xH, yH, vxH, vyH, drP))
+def time_chunk(spec_t, n_sub, label):
+    @jax.jit
+    def loop(xH, yH, vxH, vyH, drP):
+        def body(i, c):
+            xh, yh, vxh, vyh, drp, ns = c
+            st, aux, steps, t2, tc2, grd, stopped = fc.fused_chunk_call(
+                spec_t, lay, xh, yh, vxh, vyh, drp, 0.0, 0.0, 1e9, n_sub,
+                *scalars)
+            return (st["xH"], st["yH"], st["vxH"], st["vyH"], st["drP"],
+                    ns + steps)
+        return jax.lax.fori_loop(
+            0, N_CH, body, (xH, yH, vxH, vyH, drP, jnp.int32(0)))
+    out = loop(xH, yH, vxH, vyH, drP)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = loop(xH, yH, vxH, vyH, drP)
+    jax.block_until_ready(out)
+    el = time.perf_counter() - t0
+    nsteps = int(out[5])
+    per_call = el / N_CH * 1e3
+    print(f"{label}: {per_call:.4f} ms/call, {nsteps/N_CH:.1f} steps/call"
+          f" => {el/max(nsteps,1)*1e3:.4f} ms/step", flush=True)
+    return per_call, nsteps / N_CH
 
 
-out = chunk_loop(xH, yH, vxH, vyH, drP)
-jax.block_until_ready(out)
-t0 = time.perf_counter()
-out = chunk_loop(xH, yH, vxH, vyH, drP)
-jax.block_until_ready(out)
-chunk8 = (time.perf_counter() - t0) / (N_CH * 8) * 1e3
-print(f"chunk(n_sub=8)/step: {chunk8:.4f} ms", flush=True)
-
-# 2b. chunk with n_sub=1 (isolates fixed cost: call does 1 step)
-@jax.jit
-def chunk1_loop(xH, yH, vxH, vyH, drP):
-    def body(i, c):
-        xh, yh, vxh, vyh, drp = c
-        st, aux, steps, t2, tc2, grd, stopped = fc.fused_chunk_call(
-            spec, lay, xh, yh, vxh, vyh, drp, 0.0, 0.0, 1e9, 1, *scalars)
-        return (st["xH"], st["yH"], st["vxH"], st["vyH"], st["drP"])
-    return jax.lax.fori_loop(0, N_CH, body, (xH, yH, vxH, vyH, drP))
-
-
-out = chunk1_loop(xH, yH, vxH, vyH, drP)
-jax.block_until_ready(out)
-t0 = time.perf_counter()
-out = chunk1_loop(xH, yH, vxH, vyH, drP)
-jax.block_until_ready(out)
-chunk1 = (time.perf_counter() - t0) / N_CH * 1e3
-print(f"chunk(n_sub=1)/call: {chunk1:.4f} ms", flush=True)
-per_step_in_kernel = (chunk8 * 8 - chunk1) / 7
-print(f"  => in-kernel step: {per_step_in_kernel:.4f} ms, "
-      f"fixed/call: {chunk1 - per_step_in_kernel:.4f} ms", flush=True)
+spec0 = dataclasses.replace(spec, skin=0.0)
+c8, _ = time_chunk(spec0, 8, "chunk(skin0,n_sub=8)")
+c32, _ = time_chunk(spec0, 32, "chunk(skin0,n_sub=32)")
+c1, _ = time_chunk(spec0, 1, "chunk(skin0,n_sub=1)")
+step_k = (c32 - c8) / 24
+print(f"  => in-kernel step: {step_k:.4f} ms, fixed/call:"
+      f" {c1 - step_k:.4f} ms", flush=True)
+time_chunk(spec, 32, "chunk(guard,n_sub=32)")
 
 # 3. rebuild-only loop
 N_RB = 100
@@ -136,5 +133,6 @@ jax.block_until_ready(out)
 print(f"assign_slots/call:   {(time.perf_counter() - t0) / N_RB * 1e3:.4f} "
       f"ms", flush=True)
 
-glue = e2e - chunk8 - rb / 8
-print(f"implied glue/step:   {glue:.4f} ms", flush=True)
+glue = e2e - c32 / 24  # approx: guard adds a bit; rebuild counted via /cadence
+print(f"e2e minus kernel(32)/step: {glue:.4f} ms (rebuild+glue+fixed)",
+      flush=True)

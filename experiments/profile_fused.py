@@ -28,7 +28,7 @@ scalars = (cfg.rho0, cfg.p0, cfg.c_f, cfg.inv_sigma0, cfg.transport_coeff,
            cfg.gravity_g, cfg.mu, cfg.wall_visc_factor)
 cores = [fc.make_core(spec, lay.pidx, v) for v in
          (state.x, state.y, state.vx, state.vy, state.drho_dt)]
-cores += [lay.pid_c, lay.mass_c, lay.wvx_c, lay.wvy_c]
+cores += [lay.isf_c, lay.mass_c, lay.wvx_c, lay.wvy_c]
 dt = jnp.asarray(1e-4, state.x.dtype)
 
 def timeit(fn, *args, n=50):

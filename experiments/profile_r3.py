@@ -79,12 +79,12 @@ for r in range(spec.ny):
 
 scalars = (cfg.rho0, cfg.p0, cfg.c_f, cfg.inv_sigma0, cfg.transport_coeff,
            cfg.gravity_g, cfg.mu, cfg.wall_visc_factor)
-xH = fc.make_core(spec, lay.pidx, state.x)
+xH = fc.make_core(spec, lay.pidx, state.x, fill=fc._BIG_X, xshift=spec.DL)
 yH = fc.make_core(spec, lay.pidx, state.y)
 vxH = fc.make_core(spec, lay.pidx, state.vx)
 vyH = fc.make_core(spec, lay.pidx, state.vy)
 drP = fc.make_plain(spec, lay.pidx, state.drho_dt)
-cores9 = [xH, yH, vxH, vyH, drP, lay.pid_c, lay.mass_c, lay.wvx_c,
+cores9 = [xH, yH, vxH, vyH, drP, lay.isf_c, lay.mass_c, lay.wvx_c,
           lay.wvy_c]
 dtv = jnp.asarray(1e-4, state.x.dtype)
 

@@ -81,7 +81,8 @@ class FusedLayout(NamedTuple):
 
     pidx: jnp.ndarray   # (n,) int32 flat index into (nyp, K, nx) interior
     hidx: jnp.ndarray   # (n,) int32 flat index into (nyp+2, K, nx+2)
-    pid_c: jnp.ndarray  # halo'd float pid core, fill -1
+    isf_c: jnp.ndarray  # halo'd 1.0-fluid mask core (0.0 wall/empty)
+    isw_c: jnp.ndarray  # halo'd 1.0-wall mask core
     mass_c: jnp.ndarray
     wvx_c: jnp.ndarray  # prescribed wall velocity
     wvy_c: jnp.ndarray
@@ -104,14 +105,21 @@ def make_plain(spec: GridSpec, pidx, vals, fill: float = 0.0):
     return flat.at[pidx].set(vals, mode="drop").reshape(nyp, K, nx)
 
 
-def halo_ify(spec: GridSpec, plain, fill: float = 0.0):
+def halo_ify(spec: GridSpec, plain, fill: float = 0.0,
+             xshift: float = 0.0):
     """PLAIN (nyp, K, nx) core -> halo'd (nyp+2, K, nx+2): wrapped x
     columns (zeroed for nx < 3, make_core's dedup) + ``fill`` y-halo rows.
     Static slicing only — this is how per-step position/velocity cores
-    travel between steps without ever leaving cell layout."""
+    travel between steps without ever leaving cell layout.
+
+    ``xshift`` (the x POSITION core passes DL): halo columns hold the
+    TRANSLATED copies x -+ DL — the reference's ghost-entry translation
+    (sph_neighbor_search_mex.c:282-295) — so in-kernel pair dx needs no
+    per-op minimum-image correction (nx >= 3 only; tiny domains keep the
+    zeroed-halo + min-image path)."""
     nyp, K, nx = plain.shape
     if nx >= 3:
-        left, right = plain[:, :, -1:], plain[:, :, :1]
+        left, right = plain[:, :, -1:] - xshift, plain[:, :, :1] + xshift
     else:
         left = right = jnp.full((nyp, K, 1), fill, plain.dtype)
     c = jnp.concatenate([left, plain, right], axis=2)
@@ -119,12 +127,14 @@ def halo_ify(spec: GridSpec, plain, fill: float = 0.0):
     return jnp.concatenate([pad, c, pad], axis=0)
 
 
-def make_core(spec: GridSpec, pidx, vals, fill: float = 0.0):
+def make_core(spec: GridSpec, pidx, vals, fill: float = 0.0,
+              xshift: float = 0.0):
     """Packed scatter of a per-particle array into the halo'd core:
     plain scatter + halo construction (wrapped x columns, ``fill`` y-halo
     rows; -1 fill for the pid core so dead slots can never alias
     particle 0). See make_plain/halo_ify for the two halves."""
-    return halo_ify(spec, make_plain(spec, pidx, vals, fill), fill)
+    return halo_ify(spec, make_plain(spec, pidx, vals, fill), fill,
+                    xshift=xshift)
 
 
 def _packed_cores(spec: GridSpec, pidx, fields, fills):
@@ -177,25 +187,28 @@ def build_fused_layout(spec: GridSpec, x, y, mass, wall_vx, wall_vy,
     occ = jnp.minimum(occ, K).astype(jnp.int32)
 
     fdtype = x.dtype
-    pid = jnp.arange(n, dtype=fdtype)
-    is_wall = (jnp.arange(n) >= spec.n_fluid).astype(fdtype)
-    fields = [pid, mass, wall_vx, wall_vy,
+    is_fluid = (jnp.arange(n) < spec.n_fluid).astype(fdtype)
+    is_wall = 1.0 - is_fluid
+    fields = [is_fluid, is_wall, mass, wall_vx, wall_vy,
               is_wall * (wall_y <= 0.0), is_wall * (wall_y >= spec.DH),
               x, y] + list(state_fields)
-    fills = [-1.0] + [0.0] * (len(fields) - 1)
+    # empty slots ride at x = _BIG_X: past the cutoff from everything, so
+    # the kernels never need a per-lane occupancy mask (see _geometry)
+    fills = [0.0] * 7 + [_BIG_X, 0.0] + [0.0] * len(state_fields)
     cores = _packed_cores(spec, pidx, fields, fills)
     lay = FusedLayout(
         pidx=pidx, hidx=hidx,
-        pid_c=halo_ify(spec, cores[0], fill=-1.0),
-        mass_c=halo_ify(spec, cores[1]),
-        wvx_c=halo_ify(spec, cores[2]),
-        wvy_c=halo_ify(spec, cores[3]),
-        wbot_c=halo_ify(spec, cores[4]),
-        wtop_c=halo_ify(spec, cores[5]),
-        refx_p=cores[6], refy_p=cores[7],
+        isf_c=halo_ify(spec, cores[0]),
+        isw_c=halo_ify(spec, cores[1]),
+        mass_c=halo_ify(spec, cores[2]),
+        wvx_c=halo_ify(spec, cores[3]),
+        wvy_c=halo_ify(spec, cores[4]),
+        wbot_c=halo_ify(spec, cores[5]),
+        wtop_c=halo_ify(spec, cores[6]),
+        refx_p=cores[7], refy_p=cores[8],
         occ=occ, overflow=overflow)
     if state_fields:
-        return lay, cores[8:]
+        return lay, cores[9:]
     return lay
 
 
@@ -249,41 +262,55 @@ def _flush(out, acc, g0, spec, R, halo: bool):
             out[g0 + r, :, 0:nx] = blk
 
 
-def _geometry(spec, k, sx, sy, spid, need_w=True):
+_BIG_X = 1.0e9   # x-core fill for empty slots: pushes them past the
+#                  cutoff so NO per-lane identity mask is ever needed
+
+
+def _geometry(spec, k, sx, sy, sisf, need_w=True):
     """Masked pair geometry of slot k vs the (9K, L) candidate slabs:
-    (pida, af, r_safe, ex, ey, w, dw, m1, mw). Formulas cite
-    sph_neighbor_search_mex.c:115-133 (cubic spline), :359-363 (min-image).
-    Every returned field is 0 in invalid lanes, so masked accumulation
-    never sees staged garbage. ``need_w=False`` elides the W branch (only
-    the density sweep consumes W; the returned w is then garbage)."""
+    (af, r_safe, ex, ey, w, dw, m1, mw). Formulas cite
+    sph_neighbor_search_mex.c:115-133 (cubic spline); the periodic seam
+    is handled by the TRANSLATED x-halo columns for nx >= 3 (the
+    reference's ghost entries, :282-295) and by minimum-image only on
+    tiny nx < 3 domains.
+
+    Masking discipline: the validity mask folds three exclusions into the
+    r2 window test alone — empty slots ride at x = _BIG_X (far past the
+    cutoff), the self pair has r2 == 0 exactly (< the 1e-24 floor) — and
+    only ``m1``/``mw`` (+ ``w``) are hard-zeroed. ``ex``/``ey``/``dw``/
+    ``r`` may carry bounded garbage on invalid lanes: every consumer
+    multiplies by an m1- or mw-carrying coefficient, and all garbage is
+    finite (r2 is clamped before rsqrt)."""
     K, h = spec.K, spec.h
-    xa = sx[pl.ds(4 * K + k, 1), :]
-    ya = sy[pl.ds(4 * K + k, 1), :]
-    pida = spid[pl.ds(4 * K + k, 1), :]
-    xv, yv, pidv = sx[:, :], sy[:, :], spid[:, :]
+    A = pl.ds(4 * K + k, 1)
+    xa, ya = sx[A, :], sy[A, :]
+    xv, yv = sx[:, :], sy[:, :]
+    isfv = sisf[:, :]
     dx = xa - xv
-    dx = dx - spec.DL * jnp.round(dx / spec.DL)
+    if spec.nx < 3:
+        dx = dx - spec.DL * jnp.round(dx / spec.DL)
     dy = ya - yv
     r2 = dx * dx + dy * dy
-    valid = ((pidv >= 0) & (pida != pidv)
-             & (r2 < spec.cutoff * spec.cutoff) & (r2 > 1e-24))
-    r = jnp.sqrt(jnp.where(valid, r2, 1.0))
+    fvalid = ((r2 < spec.cutoff * spec.cutoff) & (r2 > 1e-24)).astype(
+        xa.dtype)
+    rs = jax.lax.rsqrt(jnp.maximum(r2, 1e-24))
+    r = r2 * rs
     sigma = 10.0 / (7.0 * math.pi * h * h)
     q = r / h
     tq = 2.0 - q
     if need_w:
         w = jnp.where(q < 1.0, sigma * (1.0 - 1.5 * q * q + 0.75 * q ** 3),
                       jnp.where(q < 2.0, sigma * 0.25 * tq ** 3, 0.0))
+        w = w * fvalid
     else:
         w = q  # unused by the caller (density is the only W consumer)
-    dw = jnp.where(q < 1.0, sigma * (-3.0 * q + 2.25 * q * q) / h,
-                   jnp.where(q < 2.0, -sigma * 0.75 * tq * tq / h, 0.0))
-    fvalid = valid.astype(xa.dtype)
-    inv_r = 1.0 / r
-    m1 = fvalid * (pidv < spec.n_fluid).astype(xa.dtype)
-    af = ((pida >= 0) & (pida < spec.n_fluid)).astype(xa.dtype)
-    return (pida, af, r, dx * inv_r * fvalid, dy * inv_r * fvalid,
-            w * fvalid if need_w else w, dw * fvalid, m1, fvalid - m1)
+    soh = sigma / h
+    dw = jnp.where(q < 1.0, q * (2.25 * soh * q - 3.0 * soh),
+                   jnp.where(q < 2.0, -0.75 * soh * tq * tq, 0.0))
+    m1 = fvalid * isfv
+    mw = fvalid - m1
+    af = sisf[A, :]
+    return (af, r, dx * rs, dy * rs, w, dw, m1, mw)
 
 
 def _w0(h):
@@ -295,7 +322,8 @@ def _w0(h):
 # ---------------------------------------------------------------------------
 
 # ref index bookkeeping (see _fused_call):
-_N_IN = 11          # xC yC vxC vyC drP pidC massC wvxC wvyC | occ dts (SMEM)
+_N_IN = 11          # xC yC vxC vyC drP isfC massC wvxC wvyC | occ params
+#                     (SMEM params row: [dt, g, mu, wall_visc_factor])
 _HALO_OUT = 7       # volO b11O b12O b21O b22O vx2O vy2O
 _PLAIN_OUT = 9      # rhoO pO drhoO fxO fyO fpxO fpyO x2O y2O
 _N_OUT = _HALO_OUT + _PLAIN_OUT + 1   # + cntO
@@ -314,11 +342,14 @@ def _when(cond):
 
 def _step_kernel(*refs, spec, R, L, n_groups, nyp, scalars,
                  sweep_offset=0):
-    occs, dts = refs[9], refs[10]
+    occs, params = refs[9], refs[10]
     sweep = pl.program_id(0) + sweep_offset
     grp = pl.program_id(1)
+    # (g, mu, wall_visc_factor) arrive via SMEM so sweeps over them reuse
+    # ONE compile (the remaining scalars are true physics constants)
+    full = scalars[:5] + (params[0, 1], params[0, 2], params[0, 3])
     _kernel_body(refs, spec=spec, R=R, L=L, n_groups=n_groups, nyp=nyp,
-                 scalars=scalars, sweep=sweep, grp=grp, dt=dts[0, 0],
+                 scalars=full, sweep=sweep, grp=grp, dt=params[0, 0],
                  kmax=occs[grp, 0])
 
 
@@ -332,7 +363,7 @@ def _kernel_body(refs, *, spec, R, L, n_groups, nyp, scalars, sweep, grp,
     nx, K, h = spec.nx, spec.K, spec.h
     NK = 9 * K
 
-    (xC, yC, vxC, vyC, drC, pidC, massC, wvxC, wvyC) = refs[:9]
+    (xC, yC, vxC, vyC, drC, isfC, massC, wvxC, wvyC) = refs[:9]
     (volO, b11O, b12O, b21O, b22O, vx2O, vy2O,
      rhoO, pO, drhoO, fxO, fyO, fpxO, fpyO, x2O, y2O,
      cntO) = refs[_N_IN:_N_IN + _N_OUT]
@@ -366,17 +397,18 @@ def _kernel_body(refs, *, spec, R, L, n_groups, nyp, scalars, sweep, grp,
 
         _stage(scr[0], xC, g0, spec, R)
         _stage(scr[1], yC, g0, spec, R)
-        _stage(scr[2], pidC, g0, spec, R)
+        _stage(scr[2], isfC, g0, spec, R)
         _stage(scr[3], massC, g0, spec, R)
         _stage_aside(aside[0], drC, g0, spec, R, halo=False)
         zero_accs(3)
+        inv_rho0 = 1.0 / rho0
 
         def kbody(k, cnt):
-            pida, af, r, ex, ey, w, dw, m1, mw = _geometry(
+            af, r, ex, ey, w, dw, m1, mw = _geometry(
                 spec, k, scr[0], scr[1], scr[2])
             massv = scr[3][:, :]
             sig_inner = _w0(h) + jnp.sum(w * m1, axis=0, keepdims=True)
-            sig_contact = jnp.sum(w * (massv / rho0) * mw, axis=0,
+            sig_contact = jnp.sum(w * (massv * inv_rho0) * mw, axis=0,
                                   keepdims=True)
             massa = scr[3][pl.ds(4 * K + k, 1), :]
             mass_safe = jnp.where(massa > 0, massa, 1.0)
@@ -422,12 +454,12 @@ def _kernel_body(refs, *, spec, R, L, n_groups, nyp, scalars, sweep, grp,
     def _kgc():
         _stage(scr[0], xC, g0, spec, R)
         _stage(scr[1], yC, g0, spec, R)
-        _stage(scr[2], pidC, g0, spec, R)
+        _stage(scr[2], isfC, g0, spec, R)
         _stage(scr[3], volO, g0, spec, R)
         zero_accs(4)
 
         def kbody(k, carry):
-            pida, af, r, ex, ey, w, dw, m1, mw = _geometry(
+            af, r, ex, ey, w, dw, m1, mw = _geometry(
                 spec, k, scr[0], scr[1], scr[2], need_w=False)
             volv = scr[3][:, :]
             rf = r * dw * volv * (m1 + mw)
@@ -476,7 +508,7 @@ def _kernel_body(refs, *, spec, R, L, n_groups, nyp, scalars, sweep, grp,
         rhoHS, pHS, dxsS, dysS = refs[-4], refs[-3], refs[-2], refs[-1]
         _stage(scr[0], xC, g0, spec, R)
         _stage(scr[1], yC, g0, spec, R)
-        _stage(scr[2], pidC, g0, spec, R)
+        _stage(scr[2], isfC, g0, spec, R)
         _stage(scr[3], volO, g0, spec, R)
         _stage(scr[4], vxC, g0, spec, R)
         _stage(scr[5], vyC, g0, spec, R)
@@ -492,7 +524,7 @@ def _kernel_body(refs, *, spec, R, L, n_groups, nyp, scalars, sweep, grp,
         zero_accs(8)
 
         def kbody(k, carry):
-            pida, af, r, ex, ey, w, dw, m1, mw = _geometry(
+            af, r, ex, ey, w, dw, m1, mw = _geometry(
                 spec, k, scr[0], scr[1], scr[2], need_w=False)
             A = pl.ds(4 * K + k, 1)
             volv = scr[3][:, :]
@@ -511,14 +543,14 @@ def _kernel_body(refs, *, spec, R, L, n_groups, nyp, scalars, sweep, grp,
             dwv = dw * volv
             inv_denom = 1.0 / (r + 0.01 * h)
 
-            b11s = b11a + b11v
-            b12s = b12a + b12v
-            b21s = b21a + b21v
-            b22s = b22a + b22v
-            ebe_f = (ex * (b11s * ex + b12s * ey)
-                     + ey * (b21s * ex + b22s * ey))
-            ebe_w = (ex * (b11a * ex + b12a * ey)
-                     + ey * (b21a * ex + b22a * ey))
+            # corrected-gradient projections, reused for BOTH the eBe
+            # scalar (e . (B e) = ex*tx + ey*ty) and the pressure force
+            tx_f = (b11a + b11v) * ex + (b12a + b12v) * ey
+            ty_f = (b21a + b21v) * ex + (b22a + b22v) * ey
+            tx_w = b11a * ex + b12a * ey
+            ty_w = b21a * ex + b22a * ey
+            ebe_f = ex * tx_f + ey * ty_f
+            ebe_w = ex * tx_w + ey * ty_w
 
             # viscous, 4.0 no-slip wall factor (c:466-545)
             cf_p = ebe_f * mu * dwv * inv_denom * m1
@@ -530,11 +562,8 @@ def _kernel_body(refs, *, spec, R, L, n_groups, nyp, scalars, sweep, grp,
             fpx = jnp.where(af > 0, acc_x * vola + massa * g, 0.0)
             fpy = jnp.where(af > 0, acc_y * vola, 0.0)
 
-            # shifting increment, -2 wall mirror factor (c:633-709)
-            tx_f = b11s * ex + b12s * ey
-            ty_f = b21s * ex + b22s * ey
-            tx_w = b11a * ex + b12a * ey
-            ty_w = b21a * ex + b22a * ey
+            # shifting increment, -2 wall mirror factor (c:633-709);
+            # reuses the tx/ty projections computed above
             inc_x = jnp.sum(-dwv * m1 * tx_f - 2.0 * dwv * mw * tx_w,
                             axis=0, keepdims=True)
             inc_y = jnp.sum(-dwv * m1 * ty_f - 2.0 * dwv * mw * ty_w,
@@ -597,7 +626,7 @@ def _kernel_body(refs, *, spec, R, L, n_groups, nyp, scalars, sweep, grp,
         rhoHS, pHS, dxsS, dysS = refs[-4], refs[-3], refs[-2], refs[-1]
         _stage(scr[0], xC, g0, spec, R)
         _stage(scr[1], yC, g0, spec, R)
-        _stage(scr[2], pidC, g0, spec, R)
+        _stage(scr[2], isfC, g0, spec, R)
         _stage(scr[3], volO, g0, spec, R)
         _stage(scr[4], vx2O, g0, spec, R)
         _stage(scr[5], vy2O, g0, spec, R)
@@ -611,7 +640,7 @@ def _kernel_body(refs, *, spec, R, L, n_groups, nyp, scalars, sweep, grp,
         zero_accs(5)
 
         def kbody(k, carry):
-            pida, af, r, ex, ey, w, dw, m1, mw = _geometry(
+            af, r, ex, ey, w, dw, m1, mw = _geometry(
                 spec, k, scr[0], scr[1], scr[2], need_w=False)
             A = pl.ds(4 * K + k, 1)
             kA = pl.ds(k, 1)
@@ -660,8 +689,9 @@ def _kernel_body(refs, *, spec, R, L, n_groups, nyp, scalars, sweep, grp,
 
 def _fused_call(spec: GridSpec, cores, occ, dt, scalars):
     """pallas_call wrapper for the fused step. ``cores``: the 9 input
-    cores; ``occ``: (n_groups, 1) int32 k-loop bounds; ``dt``: traced
-    scalar. Returns the 17 outputs."""
+    cores; ``occ``: (n_groups, 1) int32 k-loop bounds; ``dt`` and the
+    (g, mu, wall_visc_factor) tail of ``scalars`` may be traced (they
+    ride the SMEM params row). Returns the 17 outputs."""
     R, L, n_groups, nyp = plan(spec)
     nx, K = spec.nx, spec.K
     dtype = cores[0].dtype
@@ -669,10 +699,15 @@ def _fused_call(spec: GridSpec, cores, occ, dt, scalars):
     plain_shape = (nyp, K, nx)
 
     kernel = functools.partial(_step_kernel, spec=spec, R=R, L=L,
-                               n_groups=n_groups, nyp=nyp, scalars=scalars)
+                               n_groups=n_groups, nyp=nyp,
+                               scalars=scalars[:5] + (None, None, None))
     out_shape = ([jax.ShapeDtypeStruct(halo_shape, dtype)] * _HALO_OUT
                  + [jax.ShapeDtypeStruct(plain_shape, dtype)] * _PLAIN_OUT
                  + [jax.ShapeDtypeStruct((n_groups, L), dtype)])
+    params = jnp.stack([jnp.asarray(dt, dtype),
+                        jnp.asarray(scalars[5], dtype),
+                        jnp.asarray(scalars[6], dtype),
+                        jnp.asarray(scalars[7], dtype)]).reshape(1, 4)
     return pl.pallas_call(
         kernel,
         grid=(4, n_groups),
@@ -691,15 +726,16 @@ def _fused_call(spec: GridSpec, cores, occ, dt, scalars):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(*cores, occ, jnp.asarray(dt, dtype).reshape(1, 1))
+    )(*cores, occ, params)
 
 
 # ---------------------------------------------------------------------------
 # the multi-step chunk kernel (v3): up to `rebuild_every` steps per call
 # ---------------------------------------------------------------------------
 
-_C_IN = 14   # xH0 yH0 vxH0 vyH0 drP0 pidC massC wvxC wvyC refxP refyP (VMEM)
-#              + occs, params(1,4), nsub(1,1) (SMEM)
+_C_IN = 15   # xH0 yH0 vxH0 vyH0 drP0 isfC iswC massC wvxC wvyC refxP
+#              refyP (VMEM) + occs, params(1,8), nsub(1,1) (SMEM);
+#              params row: [t, t_comp, interval, g, mu, wf, 0, 0]
 _C_STATE = 5  # leading outputs: xHs yHs vxHs vyHs drPs (working state)
 
 # soft-stop fraction of the skin budget: the chunk ends (and the caller
@@ -720,12 +756,12 @@ def _chunk_kernel(*refs, spec, R, L, n_groups, nyp, scalars):
     chunk ends exactly at the rebuild cadence — semantics are identical to
     the single-step loop (same steps, same rebuild points, same guard
     observation schedule)."""
-    (rho0, p0, c_f, inv_sigma0, transport_coeff, g, mu, wf) = scalars
+    (rho0, p0, c_f, inv_sigma0, transport_coeff) = scalars[:5]
     nx, K, h = spec.nx, spec.K, spec.h
     DL = spec.DL
 
-    (xH0, yH0, vxH0, vyH0, drP0, pidC, massC, wvxC, wvyC, refxP, refyP,
-     occs, params, nsub) = refs[:_C_IN]
+    (xH0, yH0, vxH0, vyH0, drP0, isfC, iswC, massC, wvxC, wvyC,
+     refxP, refyP, occs, params, nsub) = refs[:_C_IN]
     state = refs[_C_IN:_C_IN + _C_STATE]
     outs17 = refs[_C_IN + _C_STATE:_C_IN + _C_STATE + _N_OUT]
     steps_o = refs[_C_IN + _C_STATE + _N_OUT]
@@ -736,6 +772,8 @@ def _chunk_kernel(*refs, spec, R, L, n_groups, nyp, scalars):
     (volO, b11O, b12O, b21O, b22O, vx2O, vy2O,
      rhoO, pO, drhoO, fxO, fyO, fpxO, fpyO, x2O, y2O, cntO) = outs17
     fdtype = xH0.dtype
+    g, mu, wf = params[0, 3], params[0, 4], params[0, 5]
+    full_scalars = (rho0, p0, c_f, inv_sigma0, transport_coeff, g, mu, wf)
 
     # working state starts as the incoming cores (y-halo rows arrive 0 and
     # are never written again; x-halo columns are refreshed every step)
@@ -745,12 +783,12 @@ def _chunk_kernel(*refs, spec, R, L, n_groups, nyp, scalars):
     vyHs[...] = vyH0[...]
     drPs[...] = drP0[...]
 
-    body_refs = ((xHs, yHs, vxHs, vyHs, drPs, pidC, massC, wvxC, wvyC,
+    body_refs = ((xHs, yHs, vxHs, vyHs, drPs, isfC, massC, wvxC, wvyC,
                   occs, params) + tuple(outs17) + tuple(scratch))
 
     nu = mu / rho0
-    dt_visc = 0.125 * h * h / max(nu, 1e-12)
-    dt_body = 0.25 * math.sqrt(h / max(abs(g), 1e-12))
+    dt_visc = 0.125 * h * h / jnp.maximum(nu, 1e-12)
+    dt_body = 0.25 * jnp.sqrt(h / jnp.maximum(jnp.abs(g), 1e-12))
     interval = params[0, 2]
     n_sub = nsub[0, 0]
     skin_on = spec.skin > 0.0
@@ -778,15 +816,19 @@ def _chunk_kernel(*refs, spec, R, L, n_groups, nyp, scalars):
         for s in range(4):
             def gbody(grp, carry, s=s):
                 _kernel_body(body_refs, spec=spec, R=R, L=L,
-                             n_groups=n_groups, nyp=nyp, scalars=scalars,
-                             sweep=s, grp=grp, dt=dt, kmax=occs[grp, 0])
+                             n_groups=n_groups, nyp=nyp,
+                             scalars=full_scalars, sweep=s, grp=grp,
+                             dt=dt, kmax=occs[grp, 0])
                 return carry
             jax.lax.fori_loop(0, n_groups, gbody, 0)
 
-        # periodic wrap on the plain position core (walls/empties invariant)
+        # positions stay UNWRAPPED within a chunk: pair dx through the
+        # translated x-halos requires center values continuous with the
+        # frozen cell assignment (a mid-chunk wrap would teleport a seam
+        # particle DL away from its cell). The caller wraps at rebuilds
+        # and interval ends; per-chunk drift is microscopic (<= n_sub *
+        # v_max * dt ~ 1e-2 * dp).
         x2w = x2O[...]
-        x2w = x2w - jnp.floor(x2w / DL) * DL
-        x2O[...] = x2w
         y2w = y2O[...]
 
         # PAIR-RELATIVE displacement guard vs rebuild reference cores.
@@ -803,9 +845,8 @@ def _chunk_kernel(*refs, spec, R, L, n_groups, nyp, scalars):
             ddx = x2w - refxP[...]
             ddx = ddx - DL * jnp.round(ddx / DL)
             ddy = y2w - refyP[...]
-            pidI = pidC[1:nyp + 1, :, 1:nx + 1]
-            fl = jnp.logical_and(pidI >= 0, pidI < spec.n_fluid)
-            wl = pidI >= spec.n_fluid
+            fl = isfC[1:nyp + 1, :, 1:nx + 1] > 0
+            wl = iswC[1:nyp + 1, :, 1:nx + 1] > 0
             BIG = jnp.asarray(1e30, fdtype)
 
             def row_minmax(d):
@@ -829,13 +870,14 @@ def _chunk_kernel(*refs, spec, R, L, n_groups, nyp, scalars):
                                 steps + 1 < n_sub))
             grd = jnp.logical_or(grd, bound2 > spec.skin ** 2)
 
-        # halo-ify back into the working state (wrapped x columns; nx < 3
-        # keeps halos zero per make_core's dedup)
+        # halo-ify back into the working state (TRANSLATED x columns, the
+        # ghost-entry copies; nx < 3 keeps the BIG/0 input halos per
+        # make_core's dedup and relies on min-image)
         xHs[1:nyp + 1, :, 1:nx + 1] = x2w
         yHs[1:nyp + 1, :, 1:nx + 1] = y2w
         if nx >= 3:
-            xHs[1:nyp + 1, :, 0:1] = x2w[:, :, nx - 1:nx]
-            xHs[1:nyp + 1, :, nx + 1:nx + 2] = x2w[:, :, 0:1]
+            xHs[1:nyp + 1, :, 0:1] = x2w[:, :, nx - 1:nx] - DL
+            xHs[1:nyp + 1, :, nx + 1:nx + 2] = x2w[:, :, 0:1] + DL
             yHs[1:nyp + 1, :, 0:1] = y2w[:, :, nx - 1:nx]
             yHs[1:nyp + 1, :, nx + 1:nx + 2] = y2w[:, :, 0:1]
         vxHs[...] = vx2O[...]
@@ -868,21 +910,26 @@ def fused_chunk_call(spec: GridSpec, lay: FusedLayout, xH, yH, vxH, vyH,
     (state_cores_dict, aux_outs_dict, steps_done, t_new, t_comp_new,
     guard, stopped) — ``stopped`` means the chunk soft-stopped on the
     pair-relative displacement bound and the caller must rebuild before
-    the next chunk; ``guard`` is the hard >skin validity flag."""
-    _check_static_scalars(g, mu)
+    the next chunk; ``guard`` is the hard >skin validity flag.
+
+    ``g``, ``mu`` and ``wall_visc_factor`` may be traced scalars (SMEM
+    params row) — (g, mu) sweep lanes share ONE compile."""
     R, L, n_groups, nyp = plan(spec)
     nx, K = spec.nx, spec.K
     dtype = xH.dtype
     halo_shape = (nyp + 2, K, nx + 2)
     plain_shape = (nyp, K, nx)
-    scalars = (rho0, p0, c_f, inv_sigma0, transport_coeff, g, mu,
-               wall_visc_factor)
+    scalars = (rho0, p0, c_f, inv_sigma0, transport_coeff)
     kernel = functools.partial(_chunk_kernel, spec=spec, R=R, L=L,
                                n_groups=n_groups, nyp=nyp, scalars=scalars)
     params = jnp.stack([jnp.asarray(t_local, dtype),
                         jnp.asarray(t_comp, dtype),
                         jnp.asarray(interval_len, dtype),
-                        jnp.asarray(0.0, dtype)]).reshape(1, 4)
+                        jnp.asarray(g, dtype),
+                        jnp.asarray(mu, dtype),
+                        jnp.asarray(wall_visc_factor, dtype),
+                        jnp.asarray(0.0, dtype),
+                        jnp.asarray(0.0, dtype)]).reshape(1, 8)
     nsub = jnp.asarray(n_sub, jnp.int32).reshape(1, 1)
     out_shape = (
         [jax.ShapeDtypeStruct(halo_shape, dtype)] * 4      # state halo'd
@@ -896,7 +943,7 @@ def fused_chunk_call(spec: GridSpec, lay: FusedLayout, xH, yH, vxH, vyH,
     outs = pl.pallas_call(
         kernel,
         grid=(),
-        in_specs=([pl.BlockSpec(memory_space=pltpu.VMEM)] * 11
+        in_specs=([pl.BlockSpec(memory_space=pltpu.VMEM)] * 12
                   + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 3),
         out_specs=([pl.BlockSpec(memory_space=pltpu.VMEM)]
                    * (_C_STATE + _N_OUT)
@@ -913,8 +960,8 @@ def fused_chunk_call(spec: GridSpec, lay: FusedLayout, xH, yH, vxH, vyH,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(xH, yH, vxH, vyH, drP, lay.pid_c, lay.mass_c, lay.wvx_c, lay.wvy_c,
-      lay.refx_p, lay.refy_p, lay.occ, params, nsub)
+    )(xH, yH, vxH, vyH, drP, lay.isf_c, lay.isw_c, lay.mass_c, lay.wvx_c,
+      lay.wvy_c, lay.refx_p, lay.refy_p, lay.occ, params, nsub)
     (xHs, yHs, vxHs, vyHs, drPs,
      volH, b11H, b12H, b21H, b22H, vx2H, vy2H,
      rhoP, pP, drhoP, fxP, fyP, fpxP, fpyP, x2P, y2P, cnt,
@@ -928,14 +975,6 @@ def fused_chunk_call(spec: GridSpec, lay: FusedLayout, xH, yH, vxH, vyH,
             guard_o[0, 0] > 0, guard_o[0, 1] > 0)
 
 
-def _check_static_scalars(g, mu):
-    for s in (g, mu):
-        if isinstance(s, jax.core.Tracer):
-            raise TypeError(
-                "fused_cell kernels take config scalars as Python floats; "
-                "traced (g, mu) sweeps must use the XLA cellgrid engine")
-
-
 def fused_step_cores(spec: GridSpec, lay: FusedLayout, xH, yH, vxH, vyH,
                      drP, dt, rho0: float, p0: float, c_f: float,
                      inv_sigma0: float, transport_coeff: float, g, mu,
@@ -945,10 +984,10 @@ def fused_step_cores(spec: GridSpec, lay: FusedLayout, xH, yH, vxH, vyH,
     dict of output cores (names suffixed H = halo'd, P = plain) + ``cnt``
     (the per-lane pair-count rows). Per step, NOTHING is gathered back to
     particle order — per-particle state materializes only at rebuilds and
-    interval ends (stepper.PallasCellEngine)."""
-    _check_static_scalars(g, mu)
+    interval ends (stepper.PallasCellEngine). ``g``/``mu``/
+    ``wall_visc_factor`` may be traced (SMEM params row)."""
     cores = [xH, yH, vxH, vyH, drP,
-             lay.pid_c, lay.mass_c, lay.wvx_c, lay.wvy_c]
+             lay.isf_c, lay.mass_c, lay.wvx_c, lay.wvy_c]
     outs = _fused_call(
         spec, cores, lay.occ, dt,
         (rho0, p0, c_f, inv_sigma0, transport_coeff, g, mu,
@@ -979,8 +1018,8 @@ def fused_cell_step(spec: GridSpec, lay: FusedLayout, x, y, vx, vy,
     collect). Same operator order and formulas as cellgrid.cell_step / the
     reference inner loop (SPH_Poiseuille.m:254-283). Returns the
     per-particle dict of cell_step plus ``n_pairs``."""
-    xH, yH, vxH, vyH = (make_core(spec, lay.pidx, v)
-                        for v in (x, y, vx, vy))
+    xH = make_core(spec, lay.pidx, x, fill=_BIG_X, xshift=spec.DL)
+    yH, vxH, vyH = (make_core(spec, lay.pidx, v) for v in (y, vx, vy))
     drP = make_plain(spec, lay.pidx, drho_dt)
     o = fused_step_cores(
         spec, lay, xH, yH, vxH, vyH, drP, dt, rho0, p0, c_f, inv_sigma0,
@@ -1003,14 +1042,14 @@ def fused_cell_step(spec: GridSpec, lay: FusedLayout, x, y, vx, vy,
 # ---------------------------------------------------------------------------
 
 
-def _shear_kernel(*refs, spec, R, L, n_groups, nyp, scalars):
-    mu, wf = scalars
+def _shear_kernel(*refs, spec, R, L, n_groups, nyp):
     nx, K, h = spec.nx, spec.K, spec.h
-    (xC, yC, pidC, volC, vxC, b11C, b12C, b21C, b22C,
-     wvxC, wbotC, wtopC, occs) = refs[:13]
-    tbO, ttO = refs[13], refs[14]
-    scr = refs[15:15 + 7]
-    aside = refs[22:]
+    (xC, yC, isfC, volC, vxC, b11C, b12C, b21C, b22C,
+     wvxC, wbotC, wtopC, occs, params) = refs[:14]
+    tbO, ttO = refs[14], refs[15]
+    scr = refs[16:16 + 7]
+    aside = refs[23:]
+    mu, wf = params[0, 0], params[0, 1]
 
     grp = pl.program_id(0)
     g0 = grp * R
@@ -1018,7 +1057,7 @@ def _shear_kernel(*refs, spec, R, L, n_groups, nyp, scalars):
 
     _stage(scr[0], xC, g0, spec, R)
     _stage(scr[1], yC, g0, spec, R)
-    _stage(scr[2], pidC, g0, spec, R)
+    _stage(scr[2], isfC, g0, spec, R)
     _stage(scr[3], volC, g0, spec, R)
     _stage(scr[4], wvxC, g0, spec, R)
     _stage(scr[5], wbotC, g0, spec, R)
@@ -1031,7 +1070,7 @@ def _shear_kernel(*refs, spec, R, L, n_groups, nyp, scalars):
 
     def kbody(k, carry):
         tb, tt = carry
-        pida, af, r, ex, ey, w, dw, m1, mw = _geometry(
+        af, r, ex, ey, w, dw, m1, mw = _geometry(
             spec, k, scr[0], scr[1], scr[2], need_w=False)
         A = pl.ds(4 * K + k, 1)
         kA = pl.ds(k, 1)
@@ -1065,16 +1104,17 @@ def fused_wall_shear_cores(spec: GridSpec, lay: FusedLayout, xH, yH, vxH,
     SPH_Poiseuille.m:280-283; formula sph_physics_mex.c:1713-1742)."""
     R, L, n_groups, nyp = plan(spec)
     dtype = xH.dtype
-    cores = [xH, yH, lay.pid_c, volH, vxH, b11H, b12H, b21H, b22H,
+    cores = [xH, yH, lay.isf_c, volH, vxH, b11H, b12H, b21H, b22H,
              lay.wvx_c, lay.wbot_c, lay.wtop_c]
     kernel = functools.partial(_shear_kernel, spec=spec, R=R, L=L,
-                               n_groups=n_groups, nyp=nyp,
-                               scalars=(mu, wall_visc_factor))
+                               n_groups=n_groups, nyp=nyp)
+    params = jnp.stack([jnp.asarray(mu, dtype),
+                        jnp.asarray(wall_visc_factor, dtype)]).reshape(1, 2)
     tb, tt = pl.pallas_call(
         kernel,
         grid=(n_groups,),
         in_specs=([pl.BlockSpec(memory_space=pltpu.VMEM)] * 12
-                  + [pl.BlockSpec(memory_space=pltpu.SMEM)]),
+                  + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2),
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
         out_shape=[jax.ShapeDtypeStruct((n_groups, L), dtype)] * 2,
         scratch_shapes=(
@@ -1083,16 +1123,17 @@ def fused_wall_shear_cores(spec: GridSpec, lay: FusedLayout, xH, yH, vxH,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(*cores, lay.occ)
+    )(*cores, lay.occ, params)
     return -jnp.sum(tb) / spec.DL, -jnp.sum(tt) / spec.DL
 
 
 def fused_wall_shear(spec: GridSpec, lay: FusedLayout, x, y, vx, vol,
                      b11, b12, b21, b22, mu, wall_visc_factor: float = 4.0):
     """Per-particle wrapper of ``fused_wall_shear_cores``."""
-    xH, yH, volH, vxH, b11H, b12H, b21H, b22H = (
+    xH = make_core(spec, lay.pidx, x, fill=_BIG_X, xshift=spec.DL)
+    yH, volH, vxH, b11H, b12H, b21H, b22H = (
         make_core(spec, lay.pidx, v)
-        for v in (x, y, vol, vx, b11, b12, b21, b22))
+        for v in (y, vol, vx, b11, b12, b21, b22))
     return fused_wall_shear_cores(
         spec, lay, xH, yH, vxH, volH, b11H, b12H, b21H, b22H, mu,
         wall_visc_factor)

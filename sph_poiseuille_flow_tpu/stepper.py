@@ -522,10 +522,13 @@ class PallasCellEngine(CellEngine):
             state.drho_dt, dt, cfg.rho0, cfg.p0, cfg.c_f, cfg.inv_sigma0,
             cfg.transport_coeff, g, mu, cfg.wall_visc_factor)
 
-        x = periodic_wrap(spec, out["x"])
+        # positions stay UNWRAPPED between rebuilds (translated-halo pair
+        # geometry needs center values continuous with the frozen cell
+        # assignment); the wrap lands exactly on rebuild steps
+        x_raw = out["x"]
         y = out["y"]
 
-        def fused_guard(lay):
+        def fused_guard(lay, x):
             if spec.skin <= 0.0:
                 return jnp.asarray(False)
             ddx = x - self._pc.take_p(lay, lay.refx_p)
@@ -539,14 +542,17 @@ class PallasCellEngine(CellEngine):
         # in-loop logging and tests, not the hot path
         rb_eff = min(cfg.rebuild_every, 8)
         if rb_eff <= 1:
+            x = periodic_wrap(spec, x_raw)
             lay = self._rebuild(x, y)
             guard = jnp.asarray(False)
         else:
+            do_rb = step_idx % rb_eff == 0
+            x = jnp.where(do_rb, periodic_wrap(spec, x_raw), x_raw)
             lay = jax.lax.cond(
-                step_idx % rb_eff == 0,
+                do_rb,
                 lambda: self._rebuild(x, y),
                 lambda: lay)
-            guard = fused_guard(lay)
+            guard = fused_guard(lay, x)
 
         # same static tau-observation schedule as CellEngine._step
         if tau_prev is None or cfg.step_log_every > 0:
@@ -634,7 +640,8 @@ class PallasCellEngine(CellEngine):
 
         def scatter_all(lay, s: State):
             cores = dict(
-                xH=pc.make_core(spec, lay.pidx, s.x),
+                xH=pc.make_core(spec, lay.pidx, s.x, fill=pc._BIG_X,
+                                xshift=spec.DL),
                 yH=pc.make_core(spec, lay.pidx, s.y),
                 vxH=pc.make_core(spec, lay.pidx, s.vx),
                 vyH=pc.make_core(spec, lay.pidx, s.vy),
@@ -679,7 +686,11 @@ class PallasCellEngine(CellEngine):
                                 st["drP"].reshape(-1)], axis=-1)[lay.pidx]
                 hk = jnp.stack([st["vxH"].reshape(-1),
                                 st["vyH"].reshape(-1)], axis=-1)[lay.hidx]
-                xp, yp, drp = pk[:, 0], pk[:, 1], pk[:, 2]
+                # positions leave the chunk UNWRAPPED (translated-halo
+                # geometry); wrap exactly at rebuilds, like the
+                # reference's per-step mod (SPH_Poiseuille.m:570-577)
+                xp = periodic_wrap(spec, pk[:, 0])
+                yp, drp = pk[:, 1], pk[:, 2]
                 vxp, vyp = hk[:, 0], hk[:, 1]
                 # ... and one packed scatter for the whole new layout: the
                 # state rides build_fused_layout's scatter; the ref cores
@@ -689,21 +700,20 @@ class PallasCellEngine(CellEngine):
                     self._wall_vy, self._wall_y,
                     state_fields=(vxp, vyp, drp))
                 return (nl,
-                        pc.halo_ify(spec, nl.refx_p),
+                        pc.halo_ify(spec, nl.refx_p, fill=pc._BIG_X,
+                                    xshift=spec.DL),
                         pc.halo_ify(spec, nl.refy_p),
                         pc.halo_ify(spec, vxPc),
                         pc.halo_ify(spec, vyPc),
                         drPc)
 
-            def no_rebuild():
-                return (lay, st["xH"], st["yH"], st["vxH"], st["vyH"],
-                        st["drP"])
-
-            # rebuild iff the chunk ended at its cap or soft-stopped on
-            # drift (an interval-end stop needs no rebuild — the next
-            # interval's first chunk revalidates through the same guard)
-            lay2, xH, yH, vxH, vyH, drP = jax.lax.cond(
-                (steps_done == n_sub) | stopped, do_rebuild, no_rebuild)
+            # rebuild after EVERY chunk: drift- and cap-ended chunks need
+            # it for candidate validity, and the interval-final chunk
+            # needs it so the wrap applied in do_rebuild stays consistent
+            # with the translated-halo pair geometry (a wrap under frozen
+            # cell membership would teleport seam particles). One rebuild
+            # per ~17-32 steps; no lax.cond in the hot loop.
+            lay2, xH, yH, vxH, vyH, drP = do_rebuild()
 
             new_cores = dict(
                 xH=xH, yH=yH, vxH=vxH, vyH=vyH, drP=drP,
@@ -741,7 +751,9 @@ class PallasCellEngine(CellEngine):
         # trailing rebuild re-scattered them); the aux outputs are in the
         # exec layout. Collect each with its own indices.
         state = State(
-            x=cores["xH"].reshape(-1)[lay.hidx],
+            # wrap on collection: the last chunk of the interval may end
+            # off-rebuild with (microscopically) unwrapped positions
+            x=periodic_wrap(spec, cores["xH"].reshape(-1)[lay.hidx]),
             y=cores["yH"].reshape(-1)[lay.hidx],
             vx=cores["vxH"].reshape(-1)[lay.hidx],
             vy=cores["vyH"].reshape(-1)[lay.hidx],
