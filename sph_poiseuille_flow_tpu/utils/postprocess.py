@@ -69,9 +69,16 @@ def compute_l2_error(u_mean, u_exact) -> float:
 
 
 def make_postprocess_data(cfg, scene, state, profile_times, mid_profile_u,
-                          result_png: str, profile_png: str) -> dict:
+                          result_png: str, profile_png: str,
+                          full_profile_u=None) -> dict:
     """Bundle everything the standalone postprocess needs
-    (reference: make_postprocess_data, SPH_Poiseuille.m:617-640)."""
+    (reference: make_postprocess_data, SPH_Poiseuille.m:617-640).
+
+    ``full_profile_u`` ((n_bins, n_outputs), optional): the full-channel
+    binned profile at every output point — enables the time-averaged L2
+    metric (this framework's addition; the instantaneous final-state L2
+    carries a ~0.2-0.5 pp acoustic oscillation between output points,
+    docs/VALIDATION.md)."""
     nf = scene.n_fluid
     x = np.mod(np.asarray(state.x[:nf], np.float64), cfg.DL)
     y = np.asarray(state.y[:nf], np.float64)
@@ -91,6 +98,8 @@ def make_postprocess_data(cfg, scene, state, profile_times, mid_profile_u,
         "mid_profile_u": np.asarray(mid_profile_u, np.float64),
         "y_mid": y_mid, "u_mean": u_mean, "u_exact": u_exact,
         "result_png": result_png, "profile_evolution_png": profile_png,
+        **({} if full_profile_u is None
+           else {"full_profile_u": np.asarray(full_profile_u, np.float64)}),
     }
 
 
@@ -185,6 +194,38 @@ def edge_seam_metrics(data: dict, half_width: Optional[float] = None):
     return edge_ux_gap, edge_profile_l2
 
 
+TIME_AVG_WINDOW = 5.0  # seconds of trailing outputs averaged for the
+#                        time-averaged L2 (matches the oracle-study window,
+#                        docs/VALIDATION.md)
+
+
+def time_averaged_l2(data: dict,
+                     window: float = TIME_AVG_WINDOW) -> Optional[float]:
+    """L2 of the TIME-AVERAGED full-channel profile over the trailing
+    ``window`` seconds of output points (always including the final one).
+
+    The instantaneous final-state L2 oscillates by a few tenths of a
+    percentage point between output points (the weakly-compressible
+    acoustic field); averaging the binned profile first removes that
+    component and measures the steady-state bias alone. The window is
+    capped at 25% of the run length so short (still-developing) runs
+    don't average their startup transient into the verdict — there it
+    degrades gracefully toward the instantaneous L2. Returns None when
+    the handoff predates the ``full_profile_u`` field."""
+    if "full_profile_u" not in data:
+        return None
+    fp = np.asarray(data["full_profile_u"], np.float64)
+    tvals = np.asarray(data["profile_times"], np.float64).ravel()
+    if fp.ndim != 2 or fp.shape[1] != tvals.size or tvals.size == 0:
+        return None
+    window = min(window, 0.25 * (tvals[-1] - tvals[0]))
+    sel = tvals >= tvals[-1] - window
+    sel[-1] = True
+    avg = np.nanmean(fp[:, sel], axis=1)
+    y_mid, _, u_exact = get_final_profile(data)
+    return compute_l2_error(avg, u_exact)
+
+
 def _interp_velocity_field(x, y, u, cfg_DL, cfg_DH, cfg_dp, cfg_h):
     """Interpolate u_x onto a 2x-resolution grid, extending points across
     the periodic seam (reference: build_velocity_field_grid,
@@ -227,8 +268,12 @@ def run_postprocess(data: dict, quiet: bool = False) -> dict:
     l2 = compute_l2_error(u_mean, u_exact)
     passed = l2 < L2_PASS_THRESHOLD
     edge_ux_gap, edge_profile_l2 = edge_seam_metrics(data)
+    l2_avg = time_averaged_l2(data)
     if not quiet:
         print(f"L2 relative error = {100.0 * l2:.4f}%")
+        if l2_avg is not None:
+            print(f"L2 (time-averaged profile, last {TIME_AVG_WINDOW:g} s) "
+                  f"= {100.0 * l2_avg:.4f}%")
         print("validation PASSED: L2_error < 5%" if passed
               else "validation FAILED: L2_error >= 5%")
         print(f"edge ux gap = {edge_ux_gap:.4f}")
@@ -314,6 +359,7 @@ def run_postprocess(data: dict, quiet: bool = False) -> dict:
         print(f"profile-evolution figure saved: {profile_png}")
 
     return {"L2_error": l2, "passed": passed,
+            "L2_time_avg": l2_avg,
             "edge_ux_gap": edge_ux_gap, "edge_profile_L2": edge_profile_l2,
             "result_png": result_png,
             "profile_evolution_png": profile_png}

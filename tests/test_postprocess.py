@@ -184,3 +184,34 @@ def test_edge_seam_metrics_detect_discontinuity():
     }
     gap, _ = pp.edge_seam_metrics(data)
     assert gap > 0.15 * cfg.U_max
+
+
+def test_time_averaged_l2():
+    """The averaged-profile L2 cancels a zero-mean oscillation that the
+    instantaneous L2 sees; absent/malformed full_profile_u returns None."""
+    cfg = default_cfg(DL=1.0, DH=0.5, dp=0.05, end_time=1.0)
+    n_bins = cfg.n_bins
+    edges = np.linspace(0.0, cfg.DH, n_bins + 1)
+    y_mid = 0.5 * (edges[:-1] + edges[1:])
+    u_exact = cfg.analytic_u(y_mid)
+    # 0..40 s: the 5 s window is under the 25%-of-run cap, so it selects
+    # t in [35, 40] — six alternating columns
+    tvals = np.arange(41, dtype=np.float64)
+    # alternating +-5% acoustic-like wobble, zero-mean over the window
+    cols = [u_exact * (1.0 + 0.05 * (-1.0) ** k) for k in range(41)]
+    data = {
+        "cfg_DH": cfg.DH, "cfg_gravity_g": cfg.gravity_g, "cfg_nu": cfg.nu,
+        "fluid_y": y_mid, "fluid_u": cols[-1], "n_bins": n_bins,
+        "y_mid": y_mid, "u_mean": cols[-1], "u_exact": u_exact,
+        "profile_times": tvals,
+        "full_profile_u": np.stack(cols, axis=1),
+    }
+    inst = pp.compute_l2_error(cols[-1], u_exact)
+    assert inst == pytest.approx(0.05)
+    avg = pp.time_averaged_l2(data)
+    # window [3, 8] holds 6 alternating columns -> exact cancellation
+    assert avg == pytest.approx(0.0, abs=1e-12)
+    assert pp.time_averaged_l2({k: v for k, v in data.items()
+                                if k != "full_profile_u"}) is None
+    bad = dict(data, full_profile_u=data["full_profile_u"][:, :3])
+    assert pp.time_averaged_l2(bad) is None
