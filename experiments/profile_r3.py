@@ -8,6 +8,8 @@ dependency (tunnel benching rules).
 """
 import functools
 import sys
+sys.path.insert(0, ".")
+import sys
 import time
 
 import jax
@@ -22,12 +24,14 @@ from sph_poiseuille_flow_tpu.stepper import PallasCellEngine
 
 dp = float(sys.argv[1]) if len(sys.argv) > 1 else 0.025
 warm_t = float(sys.argv[2]) if len(sys.argv) > 2 else 2.0
+K_cap = int(sys.argv[3]) if len(sys.argv) > 3 else 18
+skin_mul = float(sys.argv[4]) if len(sys.argv) > 4 else 0.75
 
 cfg = derive_config(
     DL=3.0, DH=1.0, dp=dp, rho0=1.0, mu=0.1, U_bulk=0.666667, c_f=15.0,
     end_time=20.0, output_interval=0.5, sort_interval=100,
-    restart_from_file=False, neighbor_skin=0.75 * dp, rebuild_every=8,
-    cell_capacity=18, neighbor_capacity=56)
+    restart_from_file=False, neighbor_skin=skin_mul * dp, rebuild_every=32,
+    cell_capacity=K_cap, neighbor_capacity=56)
 scene = build_scene(cfg)
 eng = PallasCellEngine(cfg, scene)
 spec = eng.spec
@@ -87,6 +91,10 @@ drP = fc.make_plain(spec, lay.pidx, state.drho_dt)
 cores9 = [xH, yH, vxH, vyH, drP, lay.isf_c, lay.mass_c, lay.wvx_c,
           lay.wvy_c]
 dtv = jnp.asarray(1e-4, state.x.dtype)
+params = jnp.stack([dtv, jnp.asarray(cfg.gravity_g, dtype=state.x.dtype),
+                    jnp.asarray(cfg.mu, dtype=state.x.dtype),
+                    jnp.asarray(cfg.wall_visc_factor,
+                                dtype=state.x.dtype)]).reshape(1, 4)
 
 nx, K = spec.nx, spec.K
 dtype = xH.dtype
@@ -138,14 +146,14 @@ def one_sweep(s):
     c = call_sweeps(1, s)
     def fn(xh):
         cs = [xh] + cores9[1:]
-        return c(*cs, lay.occ, dtv.reshape(1, 1))
+        return c(*cs, lay.occ, params)
     return fn
 
 
 def all_sweeps(xh):
     c = call_sweeps(4, 0)
     cs = [xh] + cores9[1:]
-    return c(*cs, lay.occ, dtv.reshape(1, 1))
+    return c(*cs, lay.occ, params)
 
 
 t_all = time_loop(all_sweeps)
@@ -160,7 +168,7 @@ print(f"sum of single sweeps: {sum(ts):.4f} ms "
 
 # no-op kernel with identical buffers = fixed per-call cost
 def noop_kernel(*refs):
-    refs[fc._N_IN][0, 0, 0] = refs[0][0, 0, 0]
+    refs[fc._N_IN][0, 0, :] = refs[0][0, 0, :]
 
 
 def noop(xh):
@@ -174,7 +182,7 @@ def noop(xh):
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024))(
-        *cs, lay.occ, dtv.reshape(1, 1))
+        *cs, lay.occ, params)
 
 
 print(f"no-op call (fixed cost): {time_loop(noop):.4f} ms", flush=True)

@@ -17,7 +17,13 @@ sys.path.insert(0, ".")
 import numpy as np  # noqa: E402
 
 
-def probe(dp, skin_mul, rebuild_every, n_timed=2, interval=0.5):
+def probe(dp, skin_mul, rebuild_every, K=18, n_timed=2, interval=0.5,
+          nx_force=None):
+    import os
+    if nx_force is not None:
+        os.environ["SPH_LANEPACK_NX"] = str(nx_force)
+    else:
+        os.environ.pop("SPH_LANEPACK_NX", None)
     import jax
     from sph_poiseuille_flow_tpu import (build_scene, derive_config,
                                          initial_state, make_engine)
@@ -26,7 +32,7 @@ def probe(dp, skin_mul, rebuild_every, n_timed=2, interval=0.5):
         c_f=15.0, end_time=20.0, output_interval=interval,
         sort_interval=100, restart_from_file=False, engine="pallas",
         neighbor_skin=skin_mul * dp, rebuild_every=rebuild_every,
-        cell_capacity=18, neighbor_capacity=56)
+        cell_capacity=K, neighbor_capacity=56)
     scene = build_scene(cfg)
     engine = make_engine(cfg, scene)
     state = initial_state(cfg, scene)
@@ -44,15 +50,18 @@ def probe(dp, skin_mul, rebuild_every, n_timed=2, interval=0.5):
         steps += int(res.n_steps)
     el = time.perf_counter() - t0
     guard = bool(res.skin_guard)
+    ovf = bool(res.overflow)
     psps = steps * scene.n_fluid / el
-    print(f"skin={skin_mul:.2f}dp rb={rebuild_every:3d}: "
+    print(f"skin={skin_mul:.2f}dp rb={rebuild_every:3d} K={K}: "
           f"{psps:.3e} psps ({1e3 * el / steps:.4f} ms/step)"
-          f"{'  GUARD-TRIPPED' if guard else ''}", flush=True)
+          f" nx={engine.spec.nx}"
+          f"{'  GUARD-TRIPPED' if guard else ''}"
+          f"{'  OVERFLOW' if ovf else ''}", flush=True)
     return psps
 
 
 if __name__ == "__main__":
     dp = float(sys.argv[1]) if len(sys.argv) > 1 else 0.025
-    for skin_mul in (0.75, 1.0, 1.25):
-        for rb in (8, 16, 32, 64):
-            probe(dp, skin_mul, rb)
+    for skin_mul, K, nx in ((0.3, 15, 32), (0.3, 14, None)):
+        for rb in (32, 128):
+            probe(dp, skin_mul, rb, K, nx_force=nx)

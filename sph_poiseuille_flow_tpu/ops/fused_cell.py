@@ -45,6 +45,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import NamedTuple
 
 import jax
@@ -82,7 +83,6 @@ class FusedLayout(NamedTuple):
     pidx: jnp.ndarray   # (n,) int32 flat index into (nyp, K, nx) interior
     hidx: jnp.ndarray   # (n,) int32 flat index into (nyp+2, K, nx+2)
     isf_c: jnp.ndarray  # halo'd 1.0-fluid mask core (0.0 wall/empty)
-    isw_c: jnp.ndarray  # halo'd 1.0-wall mask core
     mass_c: jnp.ndarray
     wvx_c: jnp.ndarray  # prescribed wall velocity
     wvy_c: jnp.ndarray
@@ -199,7 +199,6 @@ def build_fused_layout(spec: GridSpec, x, y, mass, wall_vx, wall_vy,
     lay = FusedLayout(
         pidx=pidx, hidx=hidx,
         isf_c=halo_ify(spec, cores[0]),
-        isw_c=halo_ify(spec, cores[1]),
         mass_c=halo_ify(spec, cores[2]),
         wvx_c=halo_ify(spec, cores[3]),
         wvy_c=halo_ify(spec, cores[4]),
@@ -637,7 +636,15 @@ def _kernel_body(refs, *, spec, R, L, n_groups, nyp, scalars, sweep, grp,
         _stage_aside(aside[2], vyC, g0, spec, R, halo=True)
         _stage_aside(aside[3], dxsS, g0, spec, R, halo=False)
         _stage_aside(aside[4], dysS, g0, spec, R, halo=False)
-        zero_accs(5)
+        zero_accs(3)
+        # position accumulators start as the STAGED center positions, not
+        # zero: slot ranks >= kmax are skipped by the occupancy-bounded
+        # k-loop, and their output positions must stay at the input values
+        # (_BIG_X for empty slots) — a zero there would (a) teleport empty
+        # slots to x=0 inside the domain for the next chunk step and
+        # (b) blow up the displacement guard against the _BIG_X ref core
+        acc[3][:, :] = scr[0][4 * K:5 * K, :]
+        acc[4][:, :] = scr[1][4 * K:5 * K, :]
 
         def kbody(k, carry):
             af, r, ex, ey, w, dw, m1, mw = _geometry(
@@ -733,7 +740,7 @@ def _fused_call(spec: GridSpec, cores, occ, dt, scalars):
 # the multi-step chunk kernel (v3): up to `rebuild_every` steps per call
 # ---------------------------------------------------------------------------
 
-_C_IN = 15   # xH0 yH0 vxH0 vyH0 drP0 isfC iswC massC wvxC wvyC refxP
+_C_IN = 14   # xH0 yH0 vxH0 vyH0 drP0 isfC massC wvxC wvyC refxP
 #              refyP (VMEM) + occs, params(1,8), nsub(1,1) (SMEM);
 #              params row: [t, t_comp, interval, g, mu, wf, 0, 0]
 _C_STATE = 5  # leading outputs: xHs yHs vxHs vyHs drPs (working state)
@@ -760,7 +767,7 @@ def _chunk_kernel(*refs, spec, R, L, n_groups, nyp, scalars):
     nx, K, h = spec.nx, spec.K, spec.h
     DL = spec.DL
 
-    (xH0, yH0, vxH0, vyH0, drP0, isfC, iswC, massC, wvxC, wvyC,
+    (xH0, yH0, vxH0, vyH0, drP0, isfC, massC, wvxC, wvyC,
      refxP, refyP, occs, params, nsub) = refs[:_C_IN]
     state = refs[_C_IN:_C_IN + _C_STATE]
     outs17 = refs[_C_IN + _C_STATE:_C_IN + _C_STATE + _N_OUT]
@@ -768,6 +775,11 @@ def _chunk_kernel(*refs, spec, R, L, n_groups, nyp, scalars):
     t_o = refs[_C_IN + _C_STATE + _N_OUT + 1]
     guard_o = refs[_C_IN + _C_STATE + _N_OUT + 2]
     scratch = refs[_C_IN + _C_STATE + _N_OUT + 3:]
+    # SMEM scalar pair between the aside buffers and the trailing cores:
+    # the guard's (bx, by) bounds, written either by the cheap running
+    # update or (under pl.when) by the exact check. Position matters:
+    # _kernel_body reaches rho_half/p_half/dx_shift/dy_shift as refs[-4:]
+    gscr = scratch[-5]
     xHs, yHs, vxHs, vyHs, drPs = state
     (volO, b11O, b12O, b21O, b22O, vx2O, vy2O,
      rhoO, pO, drhoO, fxO, fyO, fpxO, fpyO, x2O, y2O, cntO) = outs17
@@ -794,13 +806,13 @@ def _chunk_kernel(*refs, spec, R, L, n_groups, nyp, scalars):
     skin_on = spec.skin > 0.0
 
     def cond(c):
-        steps, t, tc, stop, grd = c
+        steps, t, tc, stop, grd, bxr, byr = c
         return jnp.logical_and(steps < n_sub,
                                jnp.logical_and(t < interval,
                                                jnp.logical_not(stop)))
 
     def step_body(c):
-        steps, t, tc, stop, grd = c
+        steps, t, tc, stop, grd, bxr, byr = c
         # max over the entire core equals the fluid-only verlet_dt max by
         # invariant: the kick writes 0 to every wall and empty slot
         # (jnp.where(af > 0, ...) in sweep 2), so non-fluid slots can never
@@ -831,44 +843,102 @@ def _chunk_kernel(*refs, spec, R, L, n_groups, nyp, scalars):
         x2w = x2O[...]
         y2w = y2O[...]
 
-        # PAIR-RELATIVE displacement guard vs rebuild reference cores.
-        # Candidate validity only needs max over true pairs of
-        # |d_i - d_j| <= skin (uniform advection cancels): a pair closer
-        # than 2h now was within 2h+skin at rebuild, and its rebuild
-        # y-rows differ by <= 1 (|y_i0-y_j0| <= cand_cutoff = cell_y), so
-        # a per-2-row-window range of per-slot displacement bounds every
-        # pair difference. Wall slots contribute 0 (walls never move),
-        # covering fluid-wall pairs; empty slots get +-BIG sentinels.
-        # The chunk SOFT-stops at _GUARD_SOFT*skin (rebuild follows) and
-        # hard-flags only a genuine >skin violation.
+        # Kahan-compensated interval clock (stepper._t_add) — computed
+        # before the guard so its chunk-end predicate sees the real t2
+        yk = dt - tc
+        t2 = t + yk
+        tc2 = (t2 - t) - yk
+
+        # PAIR-RELATIVE displacement guard vs rebuild reference cores,
+        # PER AXIS: the 3x3 frozen-cell stencil finds every pair within
+        # cutoff while the pair-relative displacement since rebuild stays
+        # under skin_x = cell_x - cutoff in x AND skin_y = cell_y - cutoff
+        # in y (uniform advection cancels pairwise — with lane-packed
+        # wide-x cells the x budget is large and shear-dominated x drift
+        # rarely binds; the y budget is the config skin). A pair's rebuild
+        # y-rows differ by <= 1 (candidates come from the 3x3 stencil), so
+        # a per-2-row-window range of per-slot displacements bounds every
+        # pair difference. Wall slots and empty slots self-cancel (walls
+        # never move; empties ride at the constant _BIG_X / 0 fills), and
+        # positions are unwrapped between rebuilds, so ddx needs no
+        # min-image and no masking. The chunk SOFT-stops at
+        # _GUARD_SOFT*budget (rebuild follows) and hard-flags only a
+        # genuine >budget violation.
         if skin_on:
-            ddx = x2w - refxP[...]
-            ddx = ddx - DL * jnp.round(ddx / DL)
-            ddy = y2w - refyP[...]
-            fl = isfC[1:nyp + 1, :, 1:nx + 1] > 0
-            wl = iswC[1:nyp + 1, :, 1:nx + 1] > 0
-            BIG = jnp.asarray(1e30, fdtype)
+            sx = jnp.asarray(spec.skin_x, fdtype)
+            sy = jnp.asarray(spec.skin_y, fdtype)
+            # RUNNING conservative bound first, in SCALAR math only (the
+            # measured cost of the exact 8-pass reduction every step was
+            # ~0.05 ms/step, ~30% of the step; even a per-step |dpos| max
+            # reduction measurably hurt): per-step pair-relative drift
+            # growth <= 2*v_max*dt for the kick-drift part, and v_max is
+            # already computed for the dt rule. The 2.5 factor is margin
+            # for the in-step velocity change and the (small) shifting
+            # displacement the scalar bound does not see. The EXACT
+            # reduction runs (a) when the running bound crosses the soft
+            # line — resetting it to the measured value — and (b) on the
+            # chunk's final step, which makes the scheme SOUND regardless
+            # of the margin: every inter-rebuild period ends with one
+            # exact measurement, so a hard >skin violation is always
+            # detected before the rebuild erases the evidence (grd flags
+            # the run). The soft-stop may land a step or two after the
+            # per-step-exact scheme's — the rebuild cadence shifts
+            # microscopically; pair validity is unchanged.
+            inc = 2.5 * v_max * dt
+            bxr = bxr + inc
+            byr = byr + inc
+            chunk_ends = jnp.logical_or(steps + 1 >= n_sub, t2 >= interval)
+            need = jnp.logical_or(
+                jnp.logical_or(bxr > _GUARD_SOFT * sx,
+                               byr > _GUARD_SOFT * sy), chunk_ends)
+            gscr[0, 0] = bxr
+            gscr[0, 1] = byr
+            if os.environ.get("SPH_GUARD_PROBE") == "running-only":
+                need = jnp.asarray(False)  # perf probe: skip exact checks
 
-            def row_minmax(d):
-                dmx = jnp.where(fl, d, jnp.where(wl, 0.0, -BIG))
-                dmn = jnp.where(fl, d, jnp.where(wl, 0.0, BIG))
-                mx = jnp.max(jnp.max(dmx, axis=2, keepdims=True),
-                             axis=1, keepdims=True)
-                mn = jnp.min(jnp.min(dmn, axis=2, keepdims=True),
-                             axis=1, keepdims=True)
-                rng = jnp.maximum(
-                    jnp.maximum(mx[:-1], mx[1:])
-                    - jnp.minimum(mn[:-1], mn[1:]), 0.0)
-                return rng
+            @pl.when(need)
+            def _exact_bounds():
+                # PAIR-RELATIVE displacement vs the rebuild reference
+                # cores, PER AXIS (validity: the 3x3 frozen-cell stencil
+                # finds every pair while relative drift stays under
+                # skin_x/skin_y). Fluid slots contribute their drift; wall
+                # slots anchor the range at 0 (a fluid-wall pair's
+                # relative displacement IS the fluid's absolute drift);
+                # empty slots are excluded entirely (+-BIG sentinels) —
+                # anchoring them at 0 would defeat the pairwise
+                # cancellation of uniform advection. Occupancy comes from
+                # the ref core itself (empty slots ride at _BIG_X). A
+                # pair's rebuild y-rows differ by <= 1, so a 2-row-window
+                # range of per-slot displacements bounds every pair.
+                ddx = x2w - refxP[...]
+                ddy = y2w - refyP[...]
+                fl = isfC[1:nyp + 1, :, 1:nx + 1] > 0
+                occm = refxP[...] < 0.5 * _BIG_X
+                BIG = jnp.asarray(1e30, fdtype)
 
-            rngx = row_minmax(ddx)
-            rngy = row_minmax(ddy)
-            bound2 = jnp.max(rngx * rngx + rngy * rngy)
+                def row_range(d):
+                    dmax = jnp.where(fl, d, jnp.where(occm, 0.0, -BIG))
+                    dmin = jnp.where(fl, d, jnp.where(occm, 0.0, BIG))
+                    mx = jnp.max(jnp.max(dmax, axis=2, keepdims=True),
+                                 axis=1, keepdims=True)
+                    mn = jnp.min(jnp.min(dmin, axis=2, keepdims=True),
+                                 axis=1, keepdims=True)
+                    rng = jnp.maximum(
+                        jnp.maximum(mx[:-1], mx[1:])
+                        - jnp.minimum(mn[:-1], mn[1:]), 0.0)
+                    return jnp.max(rng)
+
+                gscr[0, 0] = row_range(ddx)
+                gscr[0, 1] = row_range(ddy)
+
+            bxr = gscr[0, 0]
+            byr = gscr[0, 1]
+            soft = jnp.logical_or(bxr > _GUARD_SOFT * sx,
+                                  byr > _GUARD_SOFT * sy)
             stop = jnp.logical_or(
-                stop,
-                jnp.logical_and(bound2 > (_GUARD_SOFT * spec.skin) ** 2,
-                                steps + 1 < n_sub))
-            grd = jnp.logical_or(grd, bound2 > spec.skin ** 2)
+                stop, jnp.logical_and(soft, steps + 1 < n_sub))
+            grd = jnp.logical_or(grd,
+                                 jnp.logical_or(bxr > sx, byr > sy))
 
         # halo-ify back into the working state (TRANSLATED x columns, the
         # ghost-entry copies; nx < 3 keeps the BIG/0 input halos per
@@ -884,16 +954,15 @@ def _chunk_kernel(*refs, spec, R, L, n_groups, nyp, scalars):
         vyHs[...] = vy2O[...]
         drPs[...] = drhoO[...]
 
-        # Kahan-compensated interval clock (stepper._t_add)
-        yk = dt - tc
-        t2 = t + yk
-        tc2 = (t2 - t) - yk
-        return (steps + 1, t2, tc2, stop, grd)
+        return (steps + 1, t2, tc2, stop, grd, bxr, byr)
 
-    steps, t, tc, stop, grd = jax.lax.while_loop(
+    # running guard bounds start at +BIG: the first step of every chunk
+    # runs one exact check, measuring any drift inherited at chunk entry
+    big0 = jnp.asarray(1e30, fdtype)
+    steps, t, tc, stop, grd, _, _ = jax.lax.while_loop(
         cond, step_body,
         (jnp.asarray(0, jnp.int32), params[0, 0], params[0, 1],
-         jnp.asarray(False), jnp.asarray(False)))
+         jnp.asarray(False), jnp.asarray(False), big0, big0))
     steps_o[0, 0] = steps
     t_o[0, 0] = t
     t_o[0, 1] = tc
@@ -943,7 +1012,7 @@ def fused_chunk_call(spec: GridSpec, lay: FusedLayout, xH, yH, vxH, vyH,
     outs = pl.pallas_call(
         kernel,
         grid=(),
-        in_specs=([pl.BlockSpec(memory_space=pltpu.VMEM)] * 12
+        in_specs=([pl.BlockSpec(memory_space=pltpu.VMEM)] * 11
                   + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 3),
         out_specs=([pl.BlockSpec(memory_space=pltpu.VMEM)]
                    * (_C_STATE + _N_OUT)
@@ -953,6 +1022,7 @@ def fused_chunk_call(spec: GridSpec, lay: FusedLayout, xH, yH, vxH, vyH,
             [pltpu.VMEM((9 * K, L), dtype) for _ in range(_N_SCR_FULL)]
             + [pltpu.VMEM((K, L), dtype) for _ in range(_N_ACC)]
             + [pltpu.VMEM((K, L), dtype) for _ in range(_N_ASIDE)]
+            + [pltpu.SMEM((1, 2), dtype)]        # guard bounds (bx, by)
             + [pltpu.VMEM(halo_shape, dtype),    # rho_half core
                pltpu.VMEM(halo_shape, dtype),    # p_half core
                pltpu.VMEM(plain_shape, dtype),   # dx_shift core
@@ -960,7 +1030,7 @@ def fused_chunk_call(spec: GridSpec, lay: FusedLayout, xH, yH, vxH, vyH,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(xH, yH, vxH, vyH, drP, lay.isf_c, lay.isw_c, lay.mass_c, lay.wvx_c,
+    )(xH, yH, vxH, vyH, drP, lay.isf_c, lay.mass_c, lay.wvx_c,
       lay.wvy_c, lay.refx_p, lay.refy_p, lay.occ, params, nsub)
     (xHs, yHs, vxHs, vyHs, drPs,
      volH, b11H, b12H, b21H, b22H, vx2H, vy2H,

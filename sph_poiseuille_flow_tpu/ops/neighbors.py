@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from typing import NamedTuple, Sequence, Tuple
 
 import jax
@@ -72,6 +73,20 @@ class GridSpec:
         return self.nx * self.ny
 
     @property
+    def skin_x(self) -> float:
+        """Per-axis pair-drift budget in x: a 3x3 stencil walk over frozen
+        cells finds every pair within ``cutoff`` while the pair-relative
+        x-displacement since rebuild stays below ``cell_x - cutoff`` (and
+        likewise in y). Lane-packed fused grids make ``cell_x`` larger
+        than ``cand_cutoff``, so the x budget exceeds the radial skin —
+        the fused chunk guard exploits this per-axis slack."""
+        return self.cell_x - self.cutoff
+
+    @property
+    def skin_y(self) -> float:
+        return self.cell_y - self.cutoff
+
+    @property
     def x_offsets(self):
         """Static wrapped x-column offsets; deduplicated for tiny domains so
         a cell is never visited twice (the reference dedups dynamically via
@@ -87,16 +102,62 @@ class GridSpec:
         return len(self.x_offsets) * 3 * self.K
 
 
+def _lane_packed_nx(cfg, cand_cutoff: float, y_span: float) -> int:
+    """Pick ``nx`` for the fused cell-layout engine so a row-group's lane
+    axis (R*nx for some R in 1..8) fills 128-lane vregs, weighing the
+    padded-work factors of the fused kernels (ops/fused_cell.plan):
+    padded lanes, row-group count, per-cell occupancy (the k-loop bound),
+    and the candidate-slab sublane tiles. Occupancy is estimated from the
+    lattice-aliasing bound — a window of width w covers at most
+    floor(w/dp)+1 lattice columns — plus a compression margin of 2
+    (matches measured developed-flow maxima at dp=0.025: cell 3.35dp ->
+    bound 16, observed 17-18; cell 3.75x2.9dp -> bound 12, observed <=
+    14). Wider-than-``cand_cutoff`` x cells are allowed — they only
+    ENLARGE the per-axis x drift budget (``GridSpec.skin_x``) — but any
+    nx whose occupancy estimate exceeds ``cfg.cell_capacity`` is rejected
+    (it would overflow the configured slot capacity)."""
+    nx_max = max(1, int(math.floor(cfg.DL / cand_cutoff)))
+    if nx_max < 3:
+        return nx_max
+    force = os.environ.get("SPH_LANEPACK_NX")
+    if force:  # tuning escape hatch (experiments/: shape A/B probes)
+        return min(int(force), nx_max)
+    ny_est = int(math.ceil(y_span / cand_cutoff)) + 2
+    k_cols_y = int(math.floor(cand_cutoff / cfg.dp)) + 1
+    best = None
+    for nx in range(3, nx_max + 1):
+        cell_x = cfg.DL / nx
+        k_req = ((int(math.floor(cell_x / cfg.dp)) + 1) * k_cols_y + 2)
+        if k_req > cfg.cell_capacity:
+            continue
+        slab_tiles = -(-9 * k_req // 8)
+        for R in range(1, 9):
+            L = R * nx
+            lanes = -(-L // 128) * 128
+            groups = -(-ny_est // R)
+            cost = lanes * groups * k_req * slab_tiles
+            if best is None or cost < best[0]:
+                best = (cost, nx)
+    return best[1] if best is not None else nx_max
+
+
 def make_grid_spec(cfg, scene, wall_margin: float = 0.0,
-                   s_multiple: int = 1) -> GridSpec:
+                   s_multiple: int = 1, lane_pack: bool = False) -> GridSpec:
     """Build the static grid geometry from config + scene extents.
 
     ``s_multiple`` pads the cell-row count so the flattened cell axis
     S = ny*nx is divisible by it (jit shardings of the cell-layout engine
-    require an even partition; extra rows hold only empty slots)."""
+    require an even partition; extra rows hold only empty slots).
+
+    ``lane_pack`` (fused Pallas engine): choose ``nx`` to fill 128-lane
+    vregs instead of maximizing cell count — see ``_lane_packed_nx``."""
     cutoff = 2.0 * cfg.h
     cand_cutoff = cutoff + cfg.neighbor_skin
-    nx = max(1, int(math.floor(cfg.DL / cand_cutoff)))
+    if lane_pack:
+        y_span = (cfg.DH + 2.0 * cfg.wall_thickness + 2.0 * wall_margin)
+        nx = _lane_packed_nx(cfg, cand_cutoff, y_span)
+    else:
+        nx = max(1, int(math.floor(cfg.DL / cand_cutoff)))
     cell_x = cfg.DL / nx
     cell_y = cand_cutoff
     # Static y extent: walls are immobile; fluid is confined to the channel.
