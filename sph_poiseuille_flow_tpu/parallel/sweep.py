@@ -78,20 +78,22 @@ def _run_lanes(cfg: SPHConfig, engine, scene: Scene, state0, cands0, geom0,
     return states, total_steps, wall
 
 
-def _run_lane_static(cfg: SPHConfig, scene: Scene, g_k: float, mu_k: float,
-                     log) -> tuple:
-    """Advance ONE workload to cfg.end_time on an engine compiled with the
-    lane's (g, mu) baked in as static scalars — the path for the fused
-    Pallas engine (its kernels take config scalars as Python floats, so
-    each lane gets its own compiled program; sequential lanes also keep
-    peak HBM at a single lane's footprint)."""
-    import dataclasses
-    cfg_k = dataclasses.replace(cfg, gravity_g=float(g_k), mu=float(mu_k))
-    engine = make_engine(cfg_k, scene)
-    state, cands, geom, overflow = engine.init(initial_state(cfg_k, scene))
-    if bool(overflow):
-        raise RuntimeError("neighbor cell capacity exceeded at init")
-    ftype = np.dtype(cfg.dtype).type
+def _run_lane_seq(cfg: SPHConfig, engine, state0, cands0, geom0,
+                  g_k: float, mu_k: float, log) -> tuple:
+    """Advance ONE workload to cfg.end_time on the SHARED engine, passing
+    the lane's (g, mu) as traced scalars — the sequential path for the
+    fused Pallas engine. The kernels take (g, mu, wall_visc_factor)
+    through their SMEM params row (ops/fused_cell.fused_chunk_call), so
+    every lane reuses ONE compiled program; sequential execution keeps
+    peak HBM at a single lane's footprint. The zero-dt init pass is
+    (g, mu)-independent (it only produces rho/p/vol/B), so the shared
+    ``state0`` serves every lane."""
+    dtype = np.dtype(cfg.dtype)
+    ftype = dtype.type
+    import jax.numpy as jnp
+    g_arr = jnp.asarray(g_k, dtype)
+    mu_arr = jnp.asarray(mu_k, dtype)
+    state, cands, geom = state0, cands0, geom0
     t = 0.0
     steps = 0
     wall = 0.0
@@ -101,7 +103,7 @@ def _run_lane_static(cfg: SPHConfig, scene: Scene, g_k: float, mu_k: float,
         target = min(t + cfg.output_interval, cfg.end_time)
         t0 = time.perf_counter()
         res = engine.run_interval(state, cands, geom,
-                                  ftype(target - t))
+                                  ftype(target - t), g_arr, mu_arr)
         jax.block_until_ready(res.state.x)
         wall += time.perf_counter() - t0
         if bool(res.overflow):
@@ -146,10 +148,16 @@ def run_sweep(cfg: SPHConfig, gs, mus, log=print,
         if lane_chunk is not None:
             log("note: --sweep-lane-chunk is inapplicable on the pallas "
                 "sweep path (lanes already run one at a time); ignoring")
+        engine = make_engine(cfg, scene)
+        state0, cands0, geom0, overflow = engine.init(
+            initial_state(cfg, scene))
+        if bool(overflow):
+            raise RuntimeError("neighbor cell capacity exceeded at init")
         for k in range(n_work):
-            log(f"sweep lane {k}/{n_work} (sequential static-scalar "
-                f"compile, engine=pallas)")
-            st, steps, w = _run_lane_static(cfg, scene, gs[k], mus[k], log)
+            log(f"sweep lane {k}/{n_work} (sequential, one shared "
+                f"compile via SMEM (g, mu), engine=pallas)")
+            st, steps, w = _run_lane_seq(cfg, engine, state0, cands0,
+                                         geom0, gs[k], mus[k], log)
             chunk_states.append(st)
             total_steps += steps
             wall += w

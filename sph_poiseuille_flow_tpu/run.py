@@ -75,7 +75,18 @@ def main(argv=None) -> int:
                         help="max sweep lanes resident in HBM at once; "
                              "chunks run sequentially (memory/time "
                              "trade-off for large-dp sweeps on one chip)")
+    parser.add_argument("--mesh", type=int, default=None, metavar="N",
+                        help="run the whole pipeline over an N-device mesh "
+                             "(y-slab shard_map of the resolved engine; "
+                             "when fewer than N real chips are present, an "
+                             "N-device virtual CPU mesh is provisioned "
+                             "unless SPH_DRYRUN_REAL_DEVICES is set)")
     args = parser.parse_args(argv)
+
+    if args.mesh is not None and args.mesh > 1:
+        # must run before any jax backend initializes
+        from .parallel.virtual import ensure_devices
+        ensure_devices(args.mesh)
 
     if args.postprocess_only:
         from .utils.postprocess import postprocess_file
@@ -119,7 +130,7 @@ def main(argv=None) -> int:
         import contextlib
         profile_cm = contextlib.nullcontext()
     with profile_cm:
-        result = Simulation(cfg, paths).run()
+        result = Simulation(cfg, paths, mesh_devices=args.mesh).run()
     print(f"throughput: {result['particle_steps_per_sec']:.3e} "
           f"particle-steps/sec over {result['step']} steps")
     return 0 if result["passed"] else 1

@@ -78,6 +78,11 @@ class State(NamedTuple):
     b22: jnp.ndarray
 
 
+STEP_LOG_CAP = 1024  # ring-buffer rows per interval (plenty: the densest
+#                      preset logs interval/dt/step_log_every ~ 60 rows)
+STEP_LOG_COLS = 7    # step, t, dt, n_pairs, v_max, tau_bottom, tau_top
+
+
 class IntervalResult(NamedTuple):
     state: State
     cands: nbr.Candidates
@@ -89,6 +94,27 @@ class IntervalResult(NamedTuple):
     skin_guard: jnp.ndarray     # bool: skin displacement guard tripped
     v_max: jnp.ndarray
     n_pairs: jnp.ndarray        # reference-convention pair count
+    # device-side step-log ring buffer (step_log_every > 0 only, else
+    # None): every Nth step appends a STEP_LOG_COLS row; the driver
+    # drains and prints them host-side per interval in the reference's
+    # per-step format (SPH_Poiseuille.m:285-291). Replaces host
+    # callbacks, which the tunneled TPU platform does not support.
+    step_log: jnp.ndarray = None
+    step_log_n: jnp.ndarray = None
+
+
+def _log_row_update(every, logbuf, logn, g_step, t_after, dt, n_pairs,
+                    vmax, tau_b, tau_t):
+    """Append one step-log row to the ring buffer when ``g_step`` lands on
+    the ``every``-step cadence. Rows beyond STEP_LOG_CAP are dropped but
+    still counted, so the driver can report truncation."""
+    pred = (g_step % every) == 0
+    row = jnp.stack([g_step.astype(logbuf.dtype), t_after, dt,
+                     n_pairs.astype(logbuf.dtype), vmax, tau_b, tau_t])
+    idx = jnp.minimum(logn, STEP_LOG_CAP - 1)
+    write = jnp.logical_and(pred, logn < STEP_LOG_CAP)
+    logbuf = jnp.where(write, logbuf.at[idx].set(row), logbuf)
+    return logbuf, logn + pred.astype(jnp.int32)
 
 
 def _t_add(t, comp, dt):
@@ -250,13 +276,20 @@ class Engine:
                                b21=b21, b22=b22)
         return state, cands, geom, cands.overflow
 
+    def _count_pairs(self, cands, geom):
+        return nbr.count_pairs(geom)
+
     # ---- full inner loop to the next output point ----
     def _run_interval(self, state: State, cands, geom, interval_len,
                       g=None, mu=None, t_base=None, step_base=None):
-        # t_base/step_base: global-time/step offsets, accepted for API
-        # symmetry with CellEngine (this engine has no in-loop log)
         dtype = state.x.dtype
         interval_len = jnp.asarray(interval_len, dtype)
+        every = self.cfg.step_log_every
+        t_base = (jnp.asarray(0.0, dtype) if t_base is None
+                  else jnp.asarray(t_base, dtype))
+        step_base = (jnp.asarray(0, jnp.int32) if step_base is None
+                     else jnp.asarray(step_base, jnp.int32))
+        nf = self.spec.n_fluid
 
         def cond(carry):
             _, _, _, t_local, *_ = carry
@@ -264,29 +297,40 @@ class Engine:
 
         def body(carry):
             (state, cands, geom, t_local, t_comp, n_steps, overflow, guard,
-             tau_b, tau_t) = carry
+             tau_b, tau_t, logbuf, logn) = carry
             remain = interval_len - t_local
             state, cands, geom, dt, ovf, grd, tau_b, tau_t = self._step(
                 state, cands, geom, n_steps, remain, g, mu)
             t_local, t_comp = _t_add(t_local, t_comp, dt)
+            if every > 0:
+                vmax = jnp.sqrt(jnp.max(state.vx[:nf] ** 2
+                                        + state.vy[:nf] ** 2))
+                logbuf, logn = _log_row_update(
+                    every, logbuf, logn, step_base + n_steps + 1,
+                    t_base + t_local, dt, self._count_pairs(cands, geom),
+                    vmax, tau_b, tau_t)
             return (state, cands, geom, t_local, t_comp, n_steps + 1,
-                    overflow | ovf, guard | grd, tau_b, tau_t)
+                    overflow | ovf, guard | grd, tau_b, tau_t,
+                    logbuf, logn)
 
         zero = jnp.asarray(0.0, dtype)
         false = jnp.asarray(False)
+        logbuf0 = (jnp.zeros((STEP_LOG_CAP, STEP_LOG_COLS), dtype)
+                   if every > 0 else None)
         carry = (state, cands, geom, zero, zero, jnp.asarray(0, jnp.int32),
-                 false, false, zero, zero)
+                 false, false, zero, zero, logbuf0,
+                 jnp.asarray(0, jnp.int32) if every > 0 else None)
         (state, cands, geom, _, _, n_steps, overflow, guard,
-         tau_b, tau_t) = jax.lax.while_loop(cond, body, carry)
+         tau_b, tau_t, logbuf, logn) = jax.lax.while_loop(cond, body, carry)
 
-        nf = self.spec.n_fluid
         v_max = jnp.sqrt(jnp.max(state.vx[:nf] ** 2 + state.vy[:nf] ** 2))
-        n_pairs = nbr.count_pairs(geom)
+        n_pairs = self._count_pairs(cands, geom)
         return IntervalResult(state=state, cands=cands, geom=geom,
                               tau_bottom=tau_b, tau_top=tau_t,
                               n_steps=n_steps, overflow=overflow,
                               skin_guard=guard, v_max=v_max,
-                              n_pairs=n_pairs)
+                              n_pairs=n_pairs,
+                              step_log=logbuf, step_log_n=logn)
 
 
 class CellEngine:
@@ -321,7 +365,7 @@ class CellEngine:
         return self._cg.count_pairs(lay, geom)
 
     def _step(self, state: State, lay, geom, step_idx, remain,
-              g=None, mu=None, tau_prev=None, log_base=None):
+              g=None, mu=None, tau_prev=None):
         cfg, spec, cg = self.cfg, self.spec, self._cg
         g = cfg.gravity_g if g is None else g
         mu = cfg.mu if mu is None else mu
@@ -364,32 +408,6 @@ class CellEngine:
                 cfg.wall_visc_factor)
         else:
             tau_bottom, tau_top = tau_prev
-
-        if cfg.step_log_every > 0:
-            # reference per-step log schema (SPH_Poiseuille.m:285-291):
-            # step, t/t_end, dt, pairs, vmax + the thick-wall tau line.
-            # log_base = (global time BEFORE this step, global step index
-            # BEFORE this step) so the printed values are post-step/global
-            # like the reference's (state.t and state.step are updated
-            # before the log, SPH_Poiseuille.m:267, :284).
-            t_before, step_before = (
-                log_base if log_base is not None
-                else (jnp.asarray(0.0, dt.dtype), jnp.asarray(0, jnp.int32)))
-            g_step = step_before + step_idx + 1
-            vmax = jnp.sqrt(jnp.max(out["vx"][:nf] ** 2
-                                    + out["vy"][:nf] ** 2))
-            n_pairs = self._count_pairs(lay, geom)
-            jax.lax.cond(
-                g_step % cfg.step_log_every == 0,
-                lambda: jax.debug.print(
-                    "step={s}, t={t:.6f}/{te:.6f}, dt={dt:.4e}, "
-                    "pairs={np}, vmax={v:.4f}\n"
-                    "  [thick-wall-noslip] tau_bot={tb:.4f}, "
-                    "tau_top={tt:.4f}, tau_target={tg:.4f}",
-                    s=g_step, t=t_before + dt, te=cfg.end_time, dt=dt,
-                    np=n_pairs, v=vmax, tb=tau_bottom,
-                    tt=tau_top, tg=cfg.tau_target),
-                lambda: None)
 
         new_state = State(
             x=x, y=y, vx=out["vx"], vy=out["vy"], rho=out["rho"],
@@ -439,10 +457,12 @@ class CellEngine:
                       g=None, mu=None, t_base=None, step_base=None):
         dtype = state.x.dtype
         interval_len = jnp.asarray(interval_len, dtype)
+        every = self.cfg.step_log_every
         t_base = (jnp.asarray(0.0, dtype) if t_base is None
                   else jnp.asarray(t_base, dtype))
         step_base = (jnp.asarray(0, jnp.int32) if step_base is None
                      else jnp.asarray(step_base, jnp.int32))
+        nf = self.spec.n_fluid
 
         def cond(carry):
             _, _, _, t_local, *_ = carry
@@ -450,36 +470,46 @@ class CellEngine:
 
         def body(carry):
             (state, lay, geom, t_local, t_comp, n_steps, overflow, guard,
-             tau_b, tau_t) = carry
+             tau_b, tau_t, logbuf, logn) = carry
             remain = interval_len - t_local
             state, lay, geom, dt, ovf, grd, tau_b, tau_t = self._step(
                 state, lay, geom, n_steps, remain, g, mu,
-                tau_prev=(tau_b, tau_t),
-                log_base=(t_base + t_local, step_base))
+                tau_prev=(tau_b, tau_t))
             t_local, t_comp = _t_add(t_local, t_comp, dt)
+            if every > 0:
+                vmax = jnp.sqrt(jnp.max(state.vx[:nf] ** 2
+                                        + state.vy[:nf] ** 2))
+                logbuf, logn = _log_row_update(
+                    every, logbuf, logn, step_base + n_steps + 1,
+                    t_base + t_local, dt, self._count_pairs(lay, geom),
+                    vmax, tau_b, tau_t)
             return (state, lay, geom, t_local, t_comp, n_steps + 1,
-                    overflow | ovf, guard | grd, tau_b, tau_t)
+                    overflow | ovf, guard | grd, tau_b, tau_t,
+                    logbuf, logn)
 
         zero = jnp.asarray(0.0, dtype)
         false = jnp.asarray(False)
+        logbuf0 = (jnp.zeros((STEP_LOG_CAP, STEP_LOG_COLS), dtype)
+                   if every > 0 else None)
         carry = (state, lay, geom, zero, zero, jnp.asarray(0, jnp.int32),
-                 false, false, zero, zero)
+                 false, false, zero, zero, logbuf0,
+                 jnp.asarray(0, jnp.int32) if every > 0 else None)
         (state, lay, geom, _, _, n_steps, overflow, guard,
-         tau_b, tau_t) = jax.lax.while_loop(cond, body, carry)
+         tau_b, tau_t, logbuf, logn) = jax.lax.while_loop(cond, body, carry)
 
-        if self.cfg.step_log_every == 0:
+        if every == 0:
             # the loop body statically dropped the monitor (see _step)
             tau_b, tau_t = self._final_shear(
                 state, lay, geom, self.cfg.mu if mu is None else mu)
 
-        nf = self.spec.n_fluid
         v_max = jnp.sqrt(jnp.max(state.vx[:nf] ** 2 + state.vy[:nf] ** 2))
         n_pairs = self._count_pairs(lay, geom)
         return IntervalResult(state=state, cands=lay, geom=geom,
                               tau_bottom=tau_b, tau_top=tau_t,
                               n_steps=n_steps, overflow=overflow,
                               skin_guard=guard, v_max=v_max,
-                              n_pairs=n_pairs)
+                              n_pairs=n_pairs,
+                              step_log=logbuf, step_log_n=logn)
 
 
 class PallasCellEngine(CellEngine):
@@ -499,6 +529,14 @@ class PallasCellEngine(CellEngine):
 
     def __init__(self, cfg: SPHConfig, scene: Scene, s_multiple: int = 1):
         super().__init__(cfg, scene, s_multiple=s_multiple)
+        # lane-packed grid: nx chosen so a row group fills 128-lane vregs
+        # and x cells widen beyond cand_cutoff (enlarging the per-axis x
+        # drift budget the chunk guard checks); the XLA cellgrid twins
+        # this class falls back to for logging/tests accept any
+        # consistent spec, and their radial skin guard is conservative
+        # w.r.t. the per-axis budgets (skin <= min(skin_x, skin_y))
+        self.spec = nbr.make_grid_spec(cfg, scene, s_multiple=s_multiple,
+                                       lane_pack=True)
         from .ops import fused_cell as pc
         self._pc = pc
 
@@ -507,8 +545,20 @@ class PallasCellEngine(CellEngine):
             self.spec, x, y, self._mass, self._wall_vx, self._wall_vy,
             self._wall_y)
 
+    def _fused_cell_step(self, lay, x, y, vx, vy, drho_dt, dt, g, mu,
+                         transport_coeff=None):
+        """Single fused-step hook: the sharded engine
+        (parallel.ShardedPallasEngine) overrides this with the y-slab
+        shard_map version; everything else in _step/_init is shared."""
+        cfg = self.cfg
+        tc = (cfg.transport_coeff if transport_coeff is None
+              else transport_coeff)
+        return self._pc.fused_cell_step(
+            self.spec, lay, x, y, vx, vy, drho_dt, dt, cfg.rho0, cfg.p0,
+            cfg.c_f, cfg.inv_sigma0, tc, g, mu, cfg.wall_visc_factor)
+
     def _step(self, state: State, lay, geom, step_idx, remain,
-              g=None, mu=None, tau_prev=None, log_base=None):
+              g=None, mu=None, tau_prev=None):
         cfg, spec = self.cfg, self.spec
         g = cfg.gravity_g if g is None else g
         mu = cfg.mu if mu is None else mu
@@ -517,10 +567,9 @@ class PallasCellEngine(CellEngine):
 
         dt = verlet_dt(state.vx[:nf], state.vy[:nf], cfg.c_f, cfg.h, nu, g,
                        remain)
-        out = self._pc.fused_cell_step(
-            spec, lay, state.x, state.y, state.vx, state.vy,
-            state.drho_dt, dt, cfg.rho0, cfg.p0, cfg.c_f, cfg.inv_sigma0,
-            cfg.transport_coeff, g, mu, cfg.wall_visc_factor)
+        out = self._fused_cell_step(
+            lay, state.x, state.y, state.vx, state.vy,
+            state.drho_dt, dt, g, mu)
 
         # positions stay UNWRAPPED between rebuilds (translated-halo pair
         # geometry needs center values continuous with the frozen cell
@@ -556,34 +605,11 @@ class PallasCellEngine(CellEngine):
 
         # same static tau-observation schedule as CellEngine._step
         if tau_prev is None or cfg.step_log_every > 0:
-            tau_bottom, tau_top = self._pc.fused_wall_shear(
-                spec, lay, x, y, out["vx"], out["vol"], out["b11"],
-                out["b12"], out["b21"], out["b22"], mu,
-                cfg.wall_visc_factor)
+            tau_bottom, tau_top = self._fused_wall_shear(
+                lay, x, y, out["vx"], out["vol"], out["b11"],
+                out["b12"], out["b21"], out["b22"], mu)
         else:
             tau_bottom, tau_top = tau_prev
-
-        if cfg.step_log_every > 0:
-            # reference per-step log schema (SPH_Poiseuille.m:285-291);
-            # pairs= is this step's own (pre-rebuild) pair set, carried
-            # from the density kernel
-            t_before, step_before = (
-                log_base if log_base is not None
-                else (jnp.asarray(0.0, dt.dtype), jnp.asarray(0, jnp.int32)))
-            g_step = step_before + step_idx + 1
-            vmax = jnp.sqrt(jnp.max(out["vx"][:nf] ** 2
-                                    + out["vy"][:nf] ** 2))
-            jax.lax.cond(
-                g_step % cfg.step_log_every == 0,
-                lambda: jax.debug.print(
-                    "step={s}, t={t:.6f}/{te:.6f}, dt={dt:.4e}, "
-                    "pairs={np}, vmax={v:.4f}\n"
-                    "  [thick-wall-noslip] tau_bot={tb:.4f}, "
-                    "tau_top={tt:.4f}, tau_target={tg:.4f}",
-                    s=g_step, t=t_before + dt, te=cfg.end_time, dt=dt,
-                    np=out["n_pairs"], v=vmax, tb=tau_bottom,
-                    tt=tau_top, tg=cfg.tau_target),
-                lambda: None)
 
         new_state = State(
             x=x, y=y, vx=out["vx"], vy=out["vy"], rho=out["rho"],
@@ -597,23 +623,28 @@ class PallasCellEngine(CellEngine):
     def _init(self, state: State):
         cfg, spec = self.cfg, self.spec
         lay = self._rebuild(state.x, state.y)
-        out = self._pc.fused_cell_step(
-            spec, lay, state.x, state.y, state.vx, state.vy,
-            state.drho_dt,
-            jnp.asarray(0.0, state.x.dtype), cfg.rho0, cfg.p0, cfg.c_f,
-            cfg.inv_sigma0, 0.0, cfg.gravity_g, cfg.mu,
-            cfg.wall_visc_factor)
+        out = self._fused_cell_step(
+            lay, state.x, state.y, state.vx, state.vy, state.drho_dt,
+            jnp.asarray(0.0, state.x.dtype), cfg.gravity_g, cfg.mu,
+            transport_coeff=0.0)
         # drho_dt preserved across restart (see CellEngine._init)
         state = state._replace(
             rho=out["rho"], p=out["p"], vol=out["vol"], b11=out["b11"],
             b12=out["b12"], b21=out["b21"], b22=out["b22"])
         return state, lay, out["n_pairs"], lay.overflow
 
-    def _final_shear(self, state: State, lay, geom, mu):
+    def _fused_wall_shear(self, lay, x, y, vx, vol, b11, b12, b21, b22,
+                          mu):
+        """Wall-shear hook (sharded engine wraps it in a replicated
+        shard_map so the Pallas monitor runs per-device under GSPMD)."""
         return self._pc.fused_wall_shear(
-            self.spec, lay, state.x, state.y, state.vx, state.vol,
-            state.b11, state.b12, state.b21, state.b22, mu,
+            self.spec, lay, x, y, vx, vol, b11, b12, b21, b22, mu,
             self.cfg.wall_visc_factor)
+
+    def _final_shear(self, state: State, lay, geom, mu):
+        return self._fused_wall_shear(
+            lay, state.x, state.y, state.vx, state.vol,
+            state.b11, state.b12, state.b21, state.b22, mu)
 
     def _count_pairs(self, lay, geom):
         return geom  # carried from the step's density kernel

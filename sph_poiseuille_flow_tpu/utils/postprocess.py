@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import os
+import warnings
 from typing import Optional
 
 import numpy as np
@@ -221,7 +222,11 @@ def time_averaged_l2(data: dict,
     window = min(window, 0.25 * (tvals[-1] - tvals[0]))
     sel = tvals >= tvals[-1] - window
     sel[-1] = True
-    avg = np.nanmean(fp[:, sel], axis=1)
+    with warnings.catch_warnings():
+        # bins empty at EVERY selected output produce all-NaN rows; keep
+        # them NaN (compute_l2_error drops empty bins) without the warning
+        warnings.simplefilter("ignore", category=RuntimeWarning)
+        avg = np.nanmean(fp[:, sel], axis=1)
     y_mid, _, u_exact = get_final_profile(data)
     return compute_l2_error(avg, u_exact)
 
