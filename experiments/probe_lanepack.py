@@ -75,7 +75,7 @@ def main(nx=32, K=14, cell_y_dp=2.875):
     def loop(xH, yH, vxH, vyH, drP):
         def body(i, c):
             xh, yh, vxh, vyh, drp, ns = c
-            st, aux, steps, t2, tc2, grd, stopped = fc.fused_chunk_call(
+            st, aux, steps, t2, tc2 = fc.fused_chunk_call(
                 spec, lay, xh, yh, vxh, vyh, drp, 0.0, 0.0, 1e9, 32, *scal)
             return (st["xH"], st["yH"], st["vxH"], st["vyH"], st["drP"],
                     ns + steps)

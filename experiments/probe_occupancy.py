@@ -1,0 +1,71 @@
+"""Measure ACTUAL max per-cell occupancy over a full 20 s dp=0.025 run.
+
+The lane-packed fused grid overflows when any cell's particle count
+exceeds cell_capacity K. The pristine-lattice bound (floor(cell_x/dp)+1
+columns x floor(cell_y/dp)+1 rows) underestimates developed-flow
+occupancy: advection drifts columns across cell edges and transport
+shifting + weak compressibility cluster particles. This runs with a
+GENEROUS K so nothing overflows, and rebins positions host-side at every
+output point to record the true max count — the evidence for choosing
+the shipping K.
+
+Usage: python experiments/probe_occupancy.py [dp] [skin_mul] [K]
+"""
+import sys
+
+sys.path.insert(0, ".")
+
+import numpy as np  # noqa: E402
+
+
+def main(dp=0.025, skin_mul=0.3, K=18, nx_force=32, rebuild_every=64,
+         end_time=20.0, interval=1.0):
+    import os
+    os.environ.setdefault("SPH_LANEPACK_NX", str(nx_force))
+    import jax
+    from sph_poiseuille_flow_tpu import (build_scene, derive_config,
+                                         initial_state, make_engine)
+    cfg = derive_config(
+        DL=3.0, DH=1.0, dp=dp, rho0=1.0, mu=0.1, U_bulk=0.666667,
+        c_f=15.0, end_time=end_time, output_interval=interval,
+        sort_interval=100, restart_from_file=False, engine="pallas",
+        neighbor_skin=skin_mul * dp, rebuild_every=rebuild_every,
+        cell_capacity=K, neighbor_capacity=56)
+    scene = build_scene(cfg)
+    engine = make_engine(cfg, scene)
+    spec = engine.spec
+    print(f"spec: nx={spec.nx} cell_x={spec.cell_x / dp:.3f}dp "
+          f"cell_y={spec.cell_y / dp:.3f}dp K={spec.K} "
+          f"skin_x={spec.skin_x / dp:.3f}dp skin_y={spec.skin_y / dp:.3f}dp",
+          flush=True)
+    state = initial_state(cfg, scene)
+    state, cands, geom, overflow = engine.init(state)
+    assert not bool(overflow), "overflow at init"
+
+    def occupancy(x, y):
+        ix = np.minimum((np.mod(np.asarray(x), spec.DL)
+                         / spec.cell_x).astype(int), spec.nx - 1)
+        iy = np.clip(((np.asarray(y) - spec.y0) / spec.cell_y).astype(int),
+                     0, spec.ny - 1)
+        counts = np.zeros((spec.ny, spec.nx), np.int64)
+        np.add.at(counts, (iy, ix), 1)
+        return counts
+
+    t = 0.0
+    occ_max = occupancy(state.x, state.y).max()
+    print(f"t=0: occ_max={occ_max}", flush=True)
+    hard_max = int(occ_max)
+    while t < end_time - 1e-9:
+        res = engine.run_interval(state, cands, geom, np.float32(interval))
+        jax.block_until_ready(res.state.x)
+        state, cands, geom = res.state, res.cands, res.geom
+        t += interval
+        om = int(occupancy(state.x, state.y).max())
+        hard_max = max(hard_max, om)
+        print(f"t={t:.1f}: occ_max={om} overflow={bool(res.overflow)} "
+              f"guard={bool(res.skin_guard)}", flush=True)
+    print(f"RUN MAX OCCUPANCY: {hard_max} (K={K})", flush=True)
+
+
+if __name__ == "__main__":
+    main(*(float(a) if "." in a else int(a) for a in sys.argv[1:]))

@@ -28,7 +28,7 @@ for nsub in (1, 2, 4, 8):
     def run(carry):
         def body(i, carry):
             xH, yH, vxH, vyH, drP = carry
-            st, aux, steps, t, tc, grd, stopped = fc.fused_chunk_call(
+            st, aux, steps, t, tc = fc.fused_chunk_call(
                 spec, lay, xH, yH, vxH, vyH, drP,
                 jnp.asarray(0.0, xH.dtype), jnp.asarray(0.0, xH.dtype),
                 jnp.asarray(1.0, xH.dtype), nsub, *scal)

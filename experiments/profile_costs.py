@@ -61,7 +61,7 @@ def time_chunk(spec_t, n_sub, label):
     def loop(xH, yH, vxH, vyH, drP):
         def body(i, c):
             xh, yh, vxh, vyh, drp, ns = c
-            st, aux, steps, t2, tc2, grd, stopped = fc.fused_chunk_call(
+            st, aux, steps, t2, tc2 = fc.fused_chunk_call(
                 spec_t, lay, xh, yh, vxh, vyh, drp, 0.0, 0.0, 1e9, n_sub,
                 *scalars)
             return (st["xH"], st["yH"], st["vxH"], st["vyH"], st["drP"],

@@ -18,7 +18,7 @@ import numpy as np  # noqa: E402
 
 
 def probe(dp, skin_mul, rebuild_every, K=18, n_timed=2, interval=0.5,
-          nx_force=None):
+          nx_force=None, n_warm=1):
     import os
     if nx_force is not None:
         os.environ["SPH_LANEPACK_NX"] = str(nx_force)
@@ -38,9 +38,10 @@ def probe(dp, skin_mul, rebuild_every, K=18, n_timed=2, interval=0.5,
     state = initial_state(cfg, scene)
     state, cands, geom, overflow = engine.init(state)
     assert not bool(overflow)
-    res = engine.run_interval(state, cands, geom, np.float32(interval))
-    jax.block_until_ready(res.state.x)
-    state, cands, geom = res.state, res.cands, res.geom
+    for _ in range(n_warm):
+        res = engine.run_interval(state, cands, geom, np.float32(interval))
+        jax.block_until_ready(res.state.x)
+        state, cands, geom = res.state, res.cands, res.geom
     steps = 0
     t0 = time.perf_counter()
     for _ in range(n_timed):
@@ -62,6 +63,8 @@ def probe(dp, skin_mul, rebuild_every, K=18, n_timed=2, interval=0.5,
 
 if __name__ == "__main__":
     dp = float(sys.argv[1]) if len(sys.argv) > 1 else 0.025
-    for skin_mul, K, nx in ((0.3, 15, 32), (0.3, 14, None)):
-        for rb in (32, 128):
-            probe(dp, skin_mul, rb, K, nx_force=nx)
+    import os
+    n_warm = int(os.environ.get("SPH_SWEEP_WARM", "1"))
+    for skin_mul, K, nx in ((0.3, 15, 32),):
+        for rb in (64, 128):
+            probe(dp, skin_mul, rb, K, nx_force=nx, n_warm=n_warm)

@@ -45,7 +45,6 @@ from __future__ import annotations
 
 import functools
 import math
-import os
 from typing import NamedTuple
 
 import jax
@@ -745,13 +744,6 @@ _C_IN = 14   # xH0 yH0 vxH0 vyH0 drP0 isfC massC wvxC wvyC refxP
 #              params row: [t, t_comp, interval, g, mu, wf, 0, 0]
 _C_STATE = 5  # leading outputs: xHs yHs vxHs vyHs drPs (working state)
 
-# soft-stop fraction of the skin budget: the chunk ends (and the caller
-# rebuilds) once the pair-relative displacement bound crosses this
-# fraction, long before the hard >skin validity line (per-step bound
-# growth is ~2 orders below the remaining margin)
-_GUARD_SOFT = 0.8
-
-
 def _chunk_kernel(*refs, spec, R, L, n_groups, nyp, scalars):
     """Run up to ``nsub`` whole physics steps inside ONE kernel: the state
     cores live in the output refs (VMEM) across steps, the four pair
@@ -773,13 +765,7 @@ def _chunk_kernel(*refs, spec, R, L, n_groups, nyp, scalars):
     outs17 = refs[_C_IN + _C_STATE:_C_IN + _C_STATE + _N_OUT]
     steps_o = refs[_C_IN + _C_STATE + _N_OUT]
     t_o = refs[_C_IN + _C_STATE + _N_OUT + 1]
-    guard_o = refs[_C_IN + _C_STATE + _N_OUT + 2]
-    scratch = refs[_C_IN + _C_STATE + _N_OUT + 3:]
-    # SMEM scalar pair between the aside buffers and the trailing cores:
-    # the guard's (bx, by) bounds, written either by the cheap running
-    # update or (under pl.when) by the exact check. Position matters:
-    # _kernel_body reaches rho_half/p_half/dx_shift/dy_shift as refs[-4:]
-    gscr = scratch[-5]
+    scratch = refs[_C_IN + _C_STATE + _N_OUT + 2:]
     xHs, yHs, vxHs, vyHs, drPs = state
     (volO, b11O, b12O, b21O, b22O, vx2O, vy2O,
      rhoO, pO, drhoO, fxO, fyO, fpxO, fpyO, x2O, y2O, cntO) = outs17
@@ -803,16 +789,13 @@ def _chunk_kernel(*refs, spec, R, L, n_groups, nyp, scalars):
     dt_body = 0.25 * jnp.sqrt(h / jnp.maximum(jnp.abs(g), 1e-12))
     interval = params[0, 2]
     n_sub = nsub[0, 0]
-    skin_on = spec.skin > 0.0
 
     def cond(c):
-        steps, t, tc, stop, grd, bxr, byr = c
-        return jnp.logical_and(steps < n_sub,
-                               jnp.logical_and(t < interval,
-                                               jnp.logical_not(stop)))
+        steps, t, tc = c
+        return jnp.logical_and(steps < n_sub, t < interval)
 
     def step_body(c):
-        steps, t, tc, stop, grd, bxr, byr = c
+        steps, t, tc = c
         # max over the entire core equals the fluid-only verlet_dt max by
         # invariant: the kick writes 0 to every wall and empty slot
         # (jnp.where(af > 0, ...) in sweep 2), so non-fluid slots can never
@@ -843,102 +826,21 @@ def _chunk_kernel(*refs, spec, R, L, n_groups, nyp, scalars):
         x2w = x2O[...]
         y2w = y2O[...]
 
-        # Kahan-compensated interval clock (stepper._t_add) — computed
-        # before the guard so its chunk-end predicate sees the real t2
+        # Kahan-compensated interval clock (stepper._t_add)
         yk = dt - tc
         t2 = t + yk
         tc2 = (t2 - t) - yk
 
-        # PAIR-RELATIVE displacement guard vs rebuild reference cores,
-        # PER AXIS: the 3x3 frozen-cell stencil finds every pair within
-        # cutoff while the pair-relative displacement since rebuild stays
-        # under skin_x = cell_x - cutoff in x AND skin_y = cell_y - cutoff
-        # in y (uniform advection cancels pairwise — with lane-packed
-        # wide-x cells the x budget is large and shear-dominated x drift
-        # rarely binds; the y budget is the config skin). A pair's rebuild
-        # y-rows differ by <= 1 (candidates come from the 3x3 stencil), so
-        # a per-2-row-window range of per-slot displacements bounds every
-        # pair difference. Wall slots and empty slots self-cancel (walls
-        # never move; empties ride at the constant _BIG_X / 0 fills), and
-        # positions are unwrapped between rebuilds, so ddx needs no
-        # min-image and no masking. The chunk SOFT-stops at
-        # _GUARD_SOFT*budget (rebuild follows) and hard-flags only a
-        # genuine >budget violation.
-        if skin_on:
-            sx = jnp.asarray(spec.skin_x, fdtype)
-            sy = jnp.asarray(spec.skin_y, fdtype)
-            # RUNNING conservative bound first, in SCALAR math only (the
-            # measured cost of the exact 8-pass reduction every step was
-            # ~0.05 ms/step, ~30% of the step; even a per-step |dpos| max
-            # reduction measurably hurt): per-step pair-relative drift
-            # growth <= 2*v_max*dt for the kick-drift part, and v_max is
-            # already computed for the dt rule. The 2.5 factor is margin
-            # for the in-step velocity change and the (small) shifting
-            # displacement the scalar bound does not see. The EXACT
-            # reduction runs (a) when the running bound crosses the soft
-            # line — resetting it to the measured value — and (b) on the
-            # chunk's final step, which makes the scheme SOUND regardless
-            # of the margin: every inter-rebuild period ends with one
-            # exact measurement, so a hard >skin violation is always
-            # detected before the rebuild erases the evidence (grd flags
-            # the run). The soft-stop may land a step or two after the
-            # per-step-exact scheme's — the rebuild cadence shifts
-            # microscopically; pair validity is unchanged.
-            inc = 2.5 * v_max * dt
-            bxr = bxr + inc
-            byr = byr + inc
-            chunk_ends = jnp.logical_or(steps + 1 >= n_sub, t2 >= interval)
-            need = jnp.logical_or(
-                jnp.logical_or(bxr > _GUARD_SOFT * sx,
-                               byr > _GUARD_SOFT * sy), chunk_ends)
-            gscr[0, 0] = bxr
-            gscr[0, 1] = byr
-            if os.environ.get("SPH_GUARD_PROBE") == "running-only":
-                need = jnp.asarray(False)  # perf probe: skip exact checks
-
-            @pl.when(need)
-            def _exact_bounds():
-                # PAIR-RELATIVE displacement vs the rebuild reference
-                # cores, PER AXIS (validity: the 3x3 frozen-cell stencil
-                # finds every pair while relative drift stays under
-                # skin_x/skin_y). Fluid slots contribute their drift; wall
-                # slots anchor the range at 0 (a fluid-wall pair's
-                # relative displacement IS the fluid's absolute drift);
-                # empty slots are excluded entirely (+-BIG sentinels) —
-                # anchoring them at 0 would defeat the pairwise
-                # cancellation of uniform advection. Occupancy comes from
-                # the ref core itself (empty slots ride at _BIG_X). A
-                # pair's rebuild y-rows differ by <= 1, so a 2-row-window
-                # range of per-slot displacements bounds every pair.
-                ddx = x2w - refxP[...]
-                ddy = y2w - refyP[...]
-                fl = isfC[1:nyp + 1, :, 1:nx + 1] > 0
-                occm = refxP[...] < 0.5 * _BIG_X
-                BIG = jnp.asarray(1e30, fdtype)
-
-                def row_range(d):
-                    dmax = jnp.where(fl, d, jnp.where(occm, 0.0, -BIG))
-                    dmin = jnp.where(fl, d, jnp.where(occm, 0.0, BIG))
-                    mx = jnp.max(jnp.max(dmax, axis=2, keepdims=True),
-                                 axis=1, keepdims=True)
-                    mn = jnp.min(jnp.min(dmin, axis=2, keepdims=True),
-                                 axis=1, keepdims=True)
-                    rng = jnp.maximum(
-                        jnp.maximum(mx[:-1], mx[1:])
-                        - jnp.minimum(mn[:-1], mn[1:]), 0.0)
-                    return jnp.max(rng)
-
-                gscr[0, 0] = row_range(ddx)
-                gscr[0, 1] = row_range(ddy)
-
-            bxr = gscr[0, 0]
-            byr = gscr[0, 1]
-            soft = jnp.logical_or(bxr > _GUARD_SOFT * sx,
-                                  byr > _GUARD_SOFT * sy)
-            stop = jnp.logical_or(
-                stop, jnp.logical_and(soft, steps + 1 < n_sub))
-            grd = jnp.logical_or(grd,
-                                 jnp.logical_or(bxr > sx, byr > sy))
+        # NOTE the displacement guard is NOT in the loop: every in-kernel
+        # variant was measured slower than it looks — the exact 8-pass
+        # reduction costs ~0.05 ms/step (~30% of a step), and predicating
+        # it (pl.when / lax.cond) keeps the full cost anyway because
+        # Mosaic lowers large-body predication to execute-and-select.
+        # Validity is instead checked ONCE PER CHUNK, XLA-side, by
+        # ``pair_drift_exceeded`` on the returned position cores — the
+        # chunk boundary IS the rebuild cadence, which is exactly the
+        # window candidate validity must cover (see that function for the
+        # soundness argument).
 
         # halo-ify back into the working state (TRANSLATED x columns, the
         # ghost-entry copies; nx < 3 keeps the BIG/0 input halos per
@@ -954,20 +856,14 @@ def _chunk_kernel(*refs, spec, R, L, n_groups, nyp, scalars):
         vyHs[...] = vy2O[...]
         drPs[...] = drhoO[...]
 
-        return (steps + 1, t2, tc2, stop, grd, bxr, byr)
+        return (steps + 1, t2, tc2)
 
-    # running guard bounds start at +BIG: the first step of every chunk
-    # runs one exact check, measuring any drift inherited at chunk entry
-    big0 = jnp.asarray(1e30, fdtype)
-    steps, t, tc, stop, grd, _, _ = jax.lax.while_loop(
+    steps, t, tc = jax.lax.while_loop(
         cond, step_body,
-        (jnp.asarray(0, jnp.int32), params[0, 0], params[0, 1],
-         jnp.asarray(False), jnp.asarray(False), big0, big0))
+        (jnp.asarray(0, jnp.int32), params[0, 0], params[0, 1]))
     steps_o[0, 0] = steps
     t_o[0, 0] = t
     t_o[0, 1] = tc
-    guard_o[0, 0] = grd.astype(jnp.int32)
-    guard_o[0, 1] = stop.astype(jnp.int32)
 
 
 def fused_chunk_call(spec: GridSpec, lay: FusedLayout, xH, yH, vxH, vyH,
@@ -976,10 +872,11 @@ def fused_chunk_call(spec: GridSpec, lay: FusedLayout, xH, yH, vxH, vyH,
                      transport_coeff: float, g, mu,
                      wall_visc_factor: float = 4.0):
     """Run up to ``n_sub`` steps in one kernel call. Returns
-    (state_cores_dict, aux_outs_dict, steps_done, t_new, t_comp_new,
-    guard, stopped) — ``stopped`` means the chunk soft-stopped on the
-    pair-relative displacement bound and the caller must rebuild before
-    the next chunk; ``guard`` is the hard >skin validity flag.
+    (state_cores_dict, aux_outs_dict, steps_done, t_new, t_comp_new).
+    Candidate validity is NOT checked in-kernel (every in-kernel guard
+    variant measured ~30% of the step; TPU predication executes both
+    paths) — the caller must run ``pair_drift_exceeded`` on the returned
+    position cores before rebuilding (stepper.PallasCellEngine does).
 
     ``g``, ``mu`` and ``wall_visc_factor`` may be traced scalars (SMEM
     params row) — (g, mu) sweep lanes share ONE compile."""
@@ -1007,8 +904,7 @@ def fused_chunk_call(spec: GridSpec, lay: FusedLayout, xH, yH, vxH, vyH,
         + [jax.ShapeDtypeStruct(plain_shape, dtype)] * _PLAIN_OUT
         + [jax.ShapeDtypeStruct((n_groups, L), dtype)]     # cnt
         + [jax.ShapeDtypeStruct((1, 1), jnp.int32),        # steps
-           jax.ShapeDtypeStruct((1, 2), dtype),            # t, t_comp
-           jax.ShapeDtypeStruct((1, 2), jnp.int32)])       # guard, stop
+           jax.ShapeDtypeStruct((1, 2), dtype)])           # t, t_comp
     outs = pl.pallas_call(
         kernel,
         grid=(),
@@ -1016,13 +912,12 @@ def fused_chunk_call(spec: GridSpec, lay: FusedLayout, xH, yH, vxH, vyH,
                   + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 3),
         out_specs=([pl.BlockSpec(memory_space=pltpu.VMEM)]
                    * (_C_STATE + _N_OUT)
-                   + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 3),
+                   + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2),
         out_shape=out_shape,
         scratch_shapes=(
             [pltpu.VMEM((9 * K, L), dtype) for _ in range(_N_SCR_FULL)]
             + [pltpu.VMEM((K, L), dtype) for _ in range(_N_ACC)]
             + [pltpu.VMEM((K, L), dtype) for _ in range(_N_ASIDE)]
-            + [pltpu.SMEM((1, 2), dtype)]        # guard bounds (bx, by)
             + [pltpu.VMEM(halo_shape, dtype),    # rho_half core
                pltpu.VMEM(halo_shape, dtype),    # p_half core
                pltpu.VMEM(plain_shape, dtype),   # dx_shift core
@@ -1035,14 +930,81 @@ def fused_chunk_call(spec: GridSpec, lay: FusedLayout, xH, yH, vxH, vyH,
     (xHs, yHs, vxHs, vyHs, drPs,
      volH, b11H, b12H, b21H, b22H, vx2H, vy2H,
      rhoP, pP, drhoP, fxP, fyP, fpxP, fpyP, x2P, y2P, cnt,
-     steps_o, t_o, guard_o) = outs
+     steps_o, t_o) = outs
     st = dict(xH=xHs, yH=yHs, vxH=vxHs, vyH=vyHs, drP=drPs,
               xP=x2P, yP=y2P)
     aux = dict(volH=volH, b11H=b11H, b12H=b12H, b21H=b21H, b22H=b22H,
                rhoP=rhoP, pP=pP, drP=drhoP, fxP=fxP, fyP=fyP,
                fpxP=fpxP, fpyP=fpyP, cnt=cnt)
-    return (st, aux, steps_o[0, 0], t_o[0, 0], t_o[0, 1],
-            guard_o[0, 0] > 0, guard_o[0, 1] > 0)
+    return (st, aux, steps_o[0, 0], t_o[0, 0], t_o[0, 1])
+
+
+def pair_drift_bounds(spec: GridSpec, lay: FusedLayout, x2P, y2P):
+    """Per-sub-chunk candidate-validity bounds (XLA-side): the guard of
+    the chunk engine. Returns per-axis upper bounds (bx, by) on the
+    PAIR-RELATIVE displacement since the rebuild; candidates stay valid
+    while bx <= skin_x = cell_x - cutoff AND by <= skin_y (beyond that
+    the frozen 3x3 stencil can miss a pair that has come within the
+    cutoff).
+
+    Runs once per SUB-CHUNK on the returned position cores, NOT per step
+    in-kernel (measured: the in-kernel reduction costs ~30% of a step
+    and TPU predication cannot skip it). The stepper soft-stops
+    sub-chunking and rebuilds when a bound crosses 0.8x its budget, and
+    hard-flags a genuine violation. Soundness of the sub-chunk
+    granularity: drift is quasi-monotone (pair-relative velocity is
+    shear-scale, ~per-mille of dp per step at validated dts), so an
+    above-budget excursion that RETURNS below the budget within one
+    sub-chunk would need pair-relative speeds orders beyond the
+    dt-stable regime; the 20 s validation runs assert the flag stays
+    clean end-to-end (docs/VALIDATION.md).
+
+    Formula: fluid slots contribute their drift; wall slots anchor the
+    range at 0 (a fluid-wall pair's relative displacement IS the fluid's
+    absolute drift); empty slots are excluded (+-BIG sentinels) —
+    anchoring them at 0 would defeat the pairwise cancellation of
+    uniform advection. A candidate pair's rebuild cells differ by <= 1
+    in BOTH axes (3x3 stencil), so the max over 2-row x 2-column
+    (x-wrapped) windows of the per-slot displacement range bounds every
+    pair difference — the column locality matters: acoustic velocity
+    fluctuations decorrelate across x, so a row-wide range would
+    overestimate true pair drift several-fold (measured ~5x at developed
+    flow). Positions are unwrapped between rebuilds, so no min-image is
+    needed."""
+    R, L, n_groups, nyp = plan(spec)
+    nx = spec.nx
+    fdtype = x2P.dtype
+    fl = lay.isf_c[1:nyp + 1, :, 1:nx + 1] > 0
+    occm = lay.refx_p < 0.5 * _BIG_X
+    BIG = jnp.asarray(1e30, fdtype)
+
+    def window_range(d):
+        dmax = jnp.where(fl, d, jnp.where(occm, 0.0, -BIG))
+        dmin = jnp.where(fl, d, jnp.where(occm, 0.0, BIG))
+        mx = jnp.max(dmax, axis=1)            # (nyp, nx) over slot rank
+        mn = jnp.min(dmin, axis=1)
+        mx = jnp.maximum(mx[:-1], mx[1:])     # 2-row windows
+        mn = jnp.minimum(mn[:-1], mn[1:])
+        if nx >= 3:
+            mx = jnp.maximum(mx, jnp.roll(mx, -1, axis=1))  # 2-col,
+            mn = jnp.minimum(mn, jnp.roll(mn, -1, axis=1))  # x-wrapped
+        else:
+            mx = jnp.max(mx, axis=1, keepdims=True)
+            mn = jnp.min(mn, axis=1, keepdims=True)
+        # fully-empty windows: mx=-BIG, mn=+BIG -> clamped to 0
+        return jnp.max(jnp.maximum(mx - mn, 0.0))
+
+    return (window_range(x2P - lay.refx_p),
+            window_range(y2P - lay.refy_p))
+
+
+def pair_drift_exceeded(spec: GridSpec, lay: FusedLayout, x2P, y2P):
+    """Hard validity flag: True iff a per-axis drift bound exceeds its
+    budget (see pair_drift_bounds)."""
+    if spec.skin <= 0.0:
+        return jnp.asarray(False)
+    bx, by = pair_drift_bounds(spec, lay, x2P, y2P)
+    return jnp.logical_or(bx > spec.skin_x, by > spec.skin_y)
 
 
 def fused_step_cores(spec: GridSpec, lay: FusedLayout, xH, yH, vxH, vyH,

@@ -124,20 +124,37 @@ def _lane_packed_nx(cfg, cand_cutoff: float, y_span: float) -> int:
         return min(int(force), nx_max)
     ny_est = int(math.ceil(y_span / cand_cutoff)) + 2
     k_cols_y = int(math.floor(cand_cutoff / cfg.dp)) + 1
-    best = None
-    for nx in range(3, nx_max + 1):
-        cell_x = cfg.DL / nx
-        k_req = ((int(math.floor(cell_x / cfg.dp)) + 1) * k_cols_y + 2)
-        if k_req > cfg.cell_capacity:
-            continue
-        slab_tiles = -(-9 * k_req // 8)
-        for R in range(1, 9):
-            L = R * nx
-            lanes = -(-L // 128) * 128
-            groups = -(-ny_est // R)
-            cost = lanes * groups * k_req * slab_tiles
-            if best is None or cost < best[0]:
-                best = (cost, nx)
+    cutoff = 2.0 * cfg.h
+
+    def pick(min_skin_x: float):
+        best = None
+        for nx in range(3, nx_max + 1):
+            cell_x = cfg.DL / nx
+            if cell_x - cutoff < min_skin_x:
+                continue
+            k_req = ((int(math.floor(cell_x / cfg.dp)) + 1) * k_cols_y + 2)
+            if k_req > cfg.cell_capacity:
+                continue
+            slab_tiles = -(-9 * k_req // 8)
+            for R in range(1, 9):
+                L = R * nx
+                lanes = -(-L // 128) * 128
+                groups = -(-ny_est // R)
+                cost = lanes * groups * k_req * slab_tiles
+                # tie-break toward more cells: same padded-lane cost with
+                # a fuller vreg means fewer dead lanes
+                if (best is None or cost < best[0]
+                        or (cost == best[0] and nx > best[1])):
+                    best = (cost, nx)
+        return best
+
+    # x drift is shear-dominated (the channel profile differentiates
+    # x positions across rows), so the x budget must comfortably exceed
+    # the radial skin or the drift guard rebuilds on x long before y;
+    # require skin_x >= 3*skin where possible, else fall back
+    best = pick(3.0 * cfg.neighbor_skin)
+    if best is None:
+        best = pick(0.0)
     return best[1] if best is not None else nx_max
 
 
@@ -160,6 +177,25 @@ def make_grid_spec(cfg, scene, wall_margin: float = 0.0,
         nx = max(1, int(math.floor(cfg.DL / cand_cutoff)))
     cell_x = cfg.DL / nx
     cell_y = cand_cutoff
+    if lane_pack:
+        # expand cell_y toward the next lattice-aliasing boundary: the
+        # per-cell occupancy bound (floor(cell_y/dp)+1 lattice rows) is a
+        # step function of cell_y, so growing 2.9dp -> 2.94dp costs NO
+        # slot capacity while raising the per-axis y drift budget
+        # (GridSpec.skin_y = cell_y - cutoff) by the slack — fewer
+        # drift-forced rebuilds for free. The margin below the boundary
+        # is the COMPRESSION tolerance: m+1 lattice rows fit a window of
+        # height cell_y once row spacing compresses to cell_y/m, i.e. a
+        # linear y-compression of 1 - cell_y/(m*dp). Weakly-compressible
+        # density fluctuation reaches ~Ma^2 (~0.5% at the validation's
+        # Ma=U_max/c_f~0.07; measured: margin 0.01dp = 0.33% tolerance
+        # OVERFLOWED a K=15 cell at t~3.5 of the dp=0.025 run), so keep
+        # 2%: margin = 0.06dp at m=3.
+        m = math.floor(cand_cutoff / cfg.dp) + 1
+        grown = (m - float(os.environ.get("SPH_CELLY_MARGIN", "0.06"))) \
+            * cfg.dp
+        if grown > cell_y:
+            cell_y = grown
     # Static y extent: walls are immobile; fluid is confined to the channel.
     # One pad cell each side absorbs transient overshoot (clipped binning).
     y_lo = -cfg.wall_thickness - wall_margin

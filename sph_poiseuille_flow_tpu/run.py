@@ -56,6 +56,15 @@ def main(argv=None) -> int:
                         help="one-sided wall viscous factor (4.0 = the "
                              "reference's hard-coded calibration; ~4.3 "
                              "cancels the bulk wall-slip bias)")
+    parser.add_argument("--calibrated", action="store_true",
+                        help="shorthand for --wall-visc-factor 4.35, the "
+                             "measured optimum of the one-sided wall "
+                             "factor (docs/VALIDATION.md): cancels the "
+                             "near-wall slip bias the reference's "
+                             "hard-coded 4.0 leaves (L2 0.61%% at "
+                             "dp=0.025, 0.50%% at dp=0.01 over the 20 s "
+                             "validation); default remains "
+                             "reference-exact")
     parser.add_argument("--postprocess-only", metavar="NPZ", default=None,
                         help="run only the postprocess stage on an existing "
                              "handoff file")
@@ -103,11 +112,12 @@ def main(argv=None) -> int:
         except ValueError:
             parser.error(f"--set expects SECTION.KEY=VALUE, got {item!r}")
         ini_overrides.setdefault(section, {})[name] = float(value)
+    wall_visc_factor = 4.35 if args.calibrated else args.wall_visc_factor
     cfg = load_config(
         config_path, engine=args.engine, dtype=args.dtype,
         cell_capacity=args.cell_capacity,
         neighbor_skin=args.neighbor_skin, rebuild_every=args.rebuild_every,
-        wall_visc_factor=args.wall_visc_factor,
+        wall_visc_factor=wall_visc_factor,
         step_log_every=args.step_log_every, ini_overrides=ini_overrides)
     if args.sweep_mus:
         from .parallel import make_workloads, run_sweep

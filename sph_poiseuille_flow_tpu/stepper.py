@@ -690,25 +690,85 @@ class PallasCellEngine(CellEngine):
                 b22H=pc.make_core(spec, lay.pidx, s.b22))
             return cores
 
-        # chunked stepping: one kernel call advances up to rebuild_every
+        # chunked stepping: one kernel call advances up to _SUB whole
         # steps entirely in VMEM (ops/fused_cell._chunk_kernel); the
-        # candidate rebuild stays out here. Chunks run until the
-        # PAIR-RELATIVE displacement bound soft-stops them (uniform
-        # advection cancels pairwise, so chunks stretch far beyond the
-        # absolute-displacement cadence) or the ``rebuild_every`` cap /
-        # interval end hits; every drift- or cap-ended chunk is followed
-        # by a rebuild.
+        # candidate rebuild stays out here, and so does the candidate
+        # VALIDITY check: pair_drift_bounds runs once per SUB-CHUNK on
+        # the returned position cores (in-kernel per-step variants all
+        # measured ~30% of a step — TPU predication executes both
+        # paths). Sub-chunks repeat WITHOUT a rebuild until the drift
+        # bound crosses the soft line (0.8x budget), the rebuild_every
+        # cap, or the interval end — the adaptive cadence: transient
+        # shifting-dominated drift rebuilds every ~1.5 sub-chunks,
+        # developed flow stretches to the cap. A genuine >budget
+        # violation hard-flags the run (skin_guard).
         rb = max(1, int(cfg.rebuild_every))
+        _SUB = min(rb, 16)  # steps per kernel call: amortizes the
+        #                     ~0.13 ms fixed call cost 16x; the
+        #                     PREDICTIVE stop below keeps one sub-chunk
+        #                     of drift from overshooting the budget
+        sxb = jnp.asarray(spec.skin_x, dtype)
+        syb = jnp.asarray(spec.skin_y, dtype)
 
         def body(carry):
             (lay, cores, pidx_e, hidx_e, npairs, t_local, t_comp, n_steps,
              overflow, guard) = carry
-            n_sub = jnp.asarray(rb, jnp.int32)
-            st, aux, steps_done, t2, tc2, grd, stopped = \
-                pc.fused_chunk_call(
-                    spec, lay, cores["xH"], cores["yH"], cores["vxH"],
-                    cores["vyH"], cores["drP"], t_local, t_comp,
+
+            def sub_cond(sc):
+                st, t_i, tc_i, done_i, soft, grd, bp = sc
+                return jnp.logical_and(
+                    jnp.logical_not(soft),
+                    jnp.logical_and(done_i < rb, t_i < interval_len))
+
+            def sub_body(sc):
+                st, t_i, tc_i, done_i, soft, grd, bp = sc
+                n_sub = jnp.minimum(jnp.asarray(_SUB, jnp.int32),
+                                    jnp.asarray(rb, jnp.int32) - done_i)
+                st2, aux2, steps_done, t2, tc2 = pc.fused_chunk_call(
+                    spec, lay, st["xH"], st["yH"], st["vxH"],
+                    st["vyH"], st["drP"], t_i, tc_i,
                     interval_len, n_sub, *scalars)
+                if spec.skin > 0.0:
+                    bx, by = pc.pair_drift_bounds(
+                        spec, lay, st2["xP"], st2["yP"])
+                    # PREDICTIVE stop: rebuild when one more sub-chunk of
+                    # drift (1.5x the increment just measured; drift
+                    # rates are physics-smooth, they cannot 1.5x within
+                    # 16 steps) would cross the per-axis budget. A
+                    # genuine crossing still hard-flags the run below —
+                    # the predictor only schedules rebuilds, it is not
+                    # the validity check.
+                    soft2 = jnp.logical_or(
+                        bx + 1.5 * (bx - bp[0]) > sxb,
+                        by + 1.5 * (by - bp[1]) > syb)
+                    grd2 = jnp.logical_or(bx > sxb, by > syb)
+                else:
+                    bx = by = jnp.asarray(0.0, dtype)
+                    soft2, grd2 = jnp.asarray(True), jnp.asarray(False)
+                st2 = dict(st2, **{k: aux2[k] for k in aux2})
+                return (st2, t2, tc2, done_i + steps_done, soft2,
+                        grd | grd2, (bx, by))
+
+            # seed the sub-chunk carry with the incoming cores plus
+            # zero-filled aux slots (shapes must match the loop body)
+            st0 = dict(
+                xH=cores["xH"], yH=cores["yH"], vxH=cores["vxH"],
+                vyH=cores["vyH"], drP=cores["drP"],
+                xP=cores["xH"][1:-1, :, 1:-1],
+                yP=cores["yH"][1:-1, :, 1:-1],
+                volH=cores["volH"], b11H=cores["b11H"],
+                b12H=cores["b12H"], b21H=cores["b21H"],
+                b22H=cores["b22H"], rhoP=cores["rhoP"], pP=cores["pP"],
+                fxP=cores["fxP"], fyP=cores["fyP"], fpxP=cores["fpxP"],
+                fpyP=cores["fpyP"],
+                cnt=jnp.zeros((pc.plan(spec)[2], pc.plan(spec)[1]),
+                              dtype))
+            zb = jnp.asarray(0.0, dtype)
+            (st, t2, tc2, steps_done, _, grd, _) = jax.lax.while_loop(
+                sub_cond, sub_body,
+                (st0, t_local, t_comp, jnp.asarray(0, jnp.int32),
+                 jnp.asarray(False), jnp.asarray(False), (zb, zb)))
+            aux = st
 
             def do_rebuild():
                 # packed takes (one row-gather per index set) ...
@@ -738,12 +798,12 @@ class PallasCellEngine(CellEngine):
                         pc.halo_ify(spec, vyPc),
                         drPc)
 
-            # rebuild after EVERY chunk: drift- and cap-ended chunks need
-            # it for candidate validity, and the interval-final chunk
-            # needs it so the wrap applied in do_rebuild stays consistent
-            # with the translated-halo pair geometry (a wrap under frozen
-            # cell membership would teleport seam particles). One rebuild
-            # per ~17-32 steps; no lax.cond in the hot loop.
+            # rebuild after every sub-chunk GROUP: drift- and cap-ended
+            # groups need it for candidate validity, and the
+            # interval-final group needs it so the wrap applied in
+            # do_rebuild stays consistent with the translated-halo pair
+            # geometry (a wrap under frozen cell membership would
+            # teleport seam particles). No lax.cond in the hot loop.
             lay2, xH, yH, vxH, vyH, drP = do_rebuild()
 
             new_cores = dict(

@@ -1,0 +1,112 @@
+"""Unit tests for the XLA-side candidate-validity guard of the fused
+engine (ops/fused_cell.pair_drift_bounds / pair_drift_exceeded): the
+frozen 3x3 stencil stays valid while the PAIR-RELATIVE displacement since
+rebuild is under (skin_x, skin_y) per axis. Pure jnp — runs on CPU."""
+
+import numpy as np
+import pytest
+
+from sph_poiseuille_flow_tpu.models.poiseuille import build_scene
+from sph_poiseuille_flow_tpu.ops import fused_cell as fc
+from sph_poiseuille_flow_tpu.stepper import PallasCellEngine, initial_state
+
+from test_config import default_cfg
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = default_cfg(DL=1.0, DH=0.5, dp=0.05, neighbor_skin=0.02,
+                      cell_capacity=18)
+    scene = build_scene(cfg)
+    eng = PallasCellEngine(cfg, scene)
+    state = initial_state(cfg, scene)
+    lay = eng._rebuild(state.x, state.y)
+    return cfg, scene, eng.spec, lay, state
+
+
+def _cores(spec, lay, x, y):
+    xP = fc.make_plain(spec, lay.pidx, x, fill=fc._BIG_X)
+    yP = fc.make_plain(spec, lay.pidx, y)
+    return xP, yP
+
+
+def test_no_motion_zero_bounds(setup):
+    cfg, scene, spec, lay, state = setup
+    bx, by = fc.pair_drift_bounds(spec, lay, lay.refx_p, lay.refy_p)
+    assert float(bx) == 0.0 and float(by) == 0.0
+    assert not bool(fc.pair_drift_exceeded(spec, lay,
+                                           lay.refx_p, lay.refy_p))
+
+
+def test_uniform_translation_anchored_by_walls(setup):
+    """All fluid advected by +d in x: fluid-fluid pairs cancel, but
+    fluid-WALL pairs see the full relative displacement d (walls anchor
+    the window range at 0), so the bound equals d, not 0."""
+    cfg, scene, spec, lay, state = setup
+    d = 0.4 * cfg.dp
+    x = np.asarray(state.x).copy()
+    x[:scene.n_fluid] += d  # unwrapped between rebuilds, like the engine
+    bx, by = fc.pair_drift_bounds(spec, lay,
+                                  *_cores(spec, lay, x, state.y))
+    assert abs(float(bx) - d) < 1e-6
+    assert float(by) == 0.0
+
+
+def test_single_particle_drift_bounds_pairwise(setup):
+    """One fluid particle moved by (dx, dy): the bound must cover the
+    pair-relative displacement (= the full move, since its neighbors
+    stayed put) in each axis."""
+    cfg, scene, spec, lay, state = setup
+    dx, dy = 0.3 * cfg.dp, -0.25 * cfg.dp
+    i = scene.n_fluid // 2
+    x = np.asarray(state.x).copy()
+    y = np.asarray(state.y).copy()
+    x[i] += dx
+    y[i] += dy
+    bx, by = fc.pair_drift_bounds(spec, lay, *_cores(spec, lay, x, y))
+    assert abs(float(bx) - dx) < 1e-6
+    assert abs(float(by) - abs(dy)) < 1e-6
+
+
+def test_exceeded_flag_thresholds(setup):
+    cfg, scene, spec, lay, state = setup
+    i = scene.n_fluid // 3
+
+    def flag(dy):
+        y = np.asarray(state.y).copy()
+        y[i] += dy
+        return bool(fc.pair_drift_exceeded(
+            spec, lay, *_cores(spec, lay, np.asarray(state.x), y)))
+
+    assert not flag(0.9 * spec.skin_y)
+    assert flag(1.1 * spec.skin_y)
+
+
+def test_empty_slots_do_not_anchor():
+    """Empty slots ride at _BIG_X in the ref core and must be EXCLUDED
+    from the window range, not anchored at 0: uniform advection of an
+    all-fluid domain (partially-filled cells included) must cancel
+    pairwise and report ~0 drift. An anchored empty slot would break the
+    cancellation and report the full advection distance. Walls would
+    also anchor (legitimately), so this uses a wall-free layout."""
+    import types
+
+    from sph_poiseuille_flow_tpu.ops import neighbors as nbr
+
+    cfg = default_cfg(DL=1.0, DH=0.5, dp=0.05, neighbor_skin=0.02,
+                      cell_capacity=18)
+    scene = build_scene(cfg)
+    state = initial_state(cfg, scene)
+    nf = scene.n_fluid
+    fake = types.SimpleNamespace(n_fluid=nf, n_total=nf)
+    spec = nbr.make_grid_spec(cfg, fake, lane_pack=True)
+    x = np.asarray(state.x)[:nf]
+    y = np.asarray(state.y)[:nf]
+    zeros = np.zeros(nf, np.float32)
+    mass = np.full(nf, cfg.rho0 * cfg.dp * cfg.dp, np.float32)
+    lay = fc.build_fused_layout(spec, x, y, mass, zeros, zeros, y)
+    d = 0.45 * cfg.dp
+    bx, by = fc.pair_drift_bounds(
+        spec, lay, *_cores(spec, lay, x + d, y))
+    assert float(bx) <= 1e-6, "anchored empty slot broke cancellation"
+    assert float(by) == 0.0
