@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 
 from typing import NamedTuple
 
@@ -703,10 +704,12 @@ class PallasCellEngine(CellEngine):
         # developed flow stretches to the cap. A genuine >budget
         # violation hard-flags the run (skin_guard).
         rb = max(1, int(cfg.rebuild_every))
-        _SUB = min(rb, 16)  # steps per kernel call: amortizes the
-        #                     ~0.13 ms fixed call cost 16x; the
-        #                     PREDICTIVE stop below keeps one sub-chunk
-        #                     of drift from overshooting the budget
+        # steps per kernel call: amortizes the ~0.13 ms fixed call cost;
+        # the PREDICTIVE stop below keeps one sub-chunk of drift from
+        # overshooting the budget. 16 measured best (32 halves call
+        # overhead but doubles the drift-check granularity the predictor
+        # must cover); SPH_SUB_STEPS overrides for probing.
+        _SUB = min(rb, int(os.environ.get("SPH_SUB_STEPS", "16")))
         sxb = jnp.asarray(spec.skin_x, dtype)
         syb = jnp.asarray(spec.skin_y, dtype)
 
