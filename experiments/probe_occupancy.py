@@ -52,19 +52,27 @@ def main(dp=0.025, skin_mul=0.3, K=18, nx_force=32, rebuild_every=64,
         return counts
 
     t = 0.0
-    occ_max = occupancy(state.x, state.y).max()
-    print(f"t=0: occ_max={occ_max}", flush=True)
+    counts0 = occupancy(state.x, state.y)
+    occ_max = counts0.max()
+    print(f"t=0: occ_max={occ_max} per-row={counts0.max(axis=1)}",
+          flush=True)
     hard_max = int(occ_max)
+    hard_rows = counts0.max(axis=1)
     while t < end_time - 1e-9:
         res = engine.run_interval(state, cands, geom, np.float32(interval))
         jax.block_until_ready(res.state.x)
         state, cands, geom = res.state, res.cands, res.geom
         t += interval
-        om = int(occupancy(state.x, state.y).max())
+        counts = occupancy(state.x, state.y)
+        om = int(counts.max())
         hard_max = max(hard_max, om)
+        hard_rows = np.maximum(hard_rows, counts.max(axis=1))
         print(f"t={t:.1f}: occ_max={om} overflow={bool(res.overflow)} "
               f"guard={bool(res.skin_guard)}", flush=True)
+    # per-row maxima separate wall-adjacent compression from bulk flow:
+    # the evidence for (or against) a row-tiered K
     print(f"RUN MAX OCCUPANCY: {hard_max} (K={K})", flush=True)
+    print(f"PER-ROW RUN MAXIMA: {hard_rows}", flush=True)
 
 
 if __name__ == "__main__":

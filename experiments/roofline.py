@@ -61,10 +61,16 @@ def main(dp=0.025):
     within = (r2 < cutoff * cutoff)
     n_pairs = int(within.sum())  # directed fluid->all, incl. self
 
+    # per (sweep, group): kmax anchor-rank iterations, each doing
+    # vector work over the full (9K, L) candidate slab — geometry
+    # (dx/dy/r/ex/ey/W/dW ~28 flops/slot) plus the sweep body
+    # (~8/18/30/10 flops/slot for density/KGC/forces/int2, read from
+    # the kbody arithmetic) — so kmax multiplies EVERYTHING
+    kmax = np.asarray(cands.occ).reshape(-1)
+    slab = 9 * spec.K * L
+    per_slot_sweeps = (28 + 8) + (28 + 18) + (28 + 30) + (28 + 10)
+    flops = int(np.sum(kmax)) * slab * per_slot_sweeps
     cand_slots = n_groups * L * 9 * spec.K
-    per_slot = 4 * 28 + (34 + 46 + 58 + 38)
-    per_part = 120
-    flops = cand_slots * per_slot + n_groups * L * per_part
 
     # --- time per step inside one on-device loop over chunk calls
     res = engine.run_interval(state, cands, geom, np.float32(0.5))
@@ -87,14 +93,47 @@ def main(dp=0.025):
     chunk_bytes = f * (14 * halo + 22 * plain)   # ins+outs upper bound
     hbm_per_step = chunk_bytes / n_sub
 
+    # --- XLA's own flop count for one n_sub-step chunk call (the
+    # compiler's cost model over the lowered HLO; Pallas kernel
+    # interiors are opaque to it, so this reports the XLA-glue share —
+    # the hand count above covers the kernel interior)
+    try:
+        import jax.numpy as jnp
+        from sph_poiseuille_flow_tpu.ops import fused_cell as fc
+        lay = cands
+        scal = (cfg.rho0, cfg.p0, cfg.c_f, cfg.inv_sigma0,
+                cfg.transport_coeff, cfg.g, cfg.mu, cfg.wall_visc_factor)
+
+        def one_chunk(xH, yH, vxH, vyH, drP):
+            return fc.fused_chunk_call(
+                spec, lay, xH, yH, vxH, vyH, drP,
+                jnp.asarray(0.0, xH.dtype), jnp.asarray(0.0, xH.dtype),
+                jnp.asarray(1e9, xH.dtype), n_sub, *scal)
+
+        cores = [fc.make_core(spec, lay.pidx, getattr(state, f))
+                 for f in ("x", "y", "vx", "vy")]
+        cores = [fc.halo_ify(spec, c) for c in cores[:4]]
+        drP = fc.make_core(spec, lay.pidx, state.drho_dt)
+        ca = jax.jit(one_chunk).lower(*cores, drP).compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        print(f"  XLA cost_analysis (glue, per {n_sub}-step chunk): "
+              f"flops={ca.get('flops', 0):.3e} "
+              f"bytes={ca.get('bytes accessed', 0):.3e}")
+    except Exception as e:  # cost analysis is best-effort diagnostics
+        print(f"  (cost_analysis unavailable: {e})")
+
     flop_s = flops / dt_step
     hbm_s = hbm_per_step / dt_step
-    VPU_PEAK = 0.9e14   # v5e practical f32 VPU roofline
+    # v5e per-chip VPU: (8,128) vector unit, ~4 f32 ops/cycle lane at
+    # ~0.94 GHz => ~3.9e12 FLOP/s (the MXU's 197 bf16 TFLOPs do not
+    # apply: the pair phase is elementwise/reduction work)
+    VPU_PEAK = 3.9e12
     HBM_PEAK = 8.1e11
     print(f"dp={dp}: n_fluid={n_fluid} plan R={R} L={L} groups={n_groups} "
           f"K={spec.K} cand_slots={cand_slots}")
-    print(f"  true directed pairs={n_pairs} overcompute="
-          f"{cand_slots / n_pairs:.1f}x")
+    visits = int(np.sum(kmax)) * slab   # candidate-slot visits per sweep
+    print(f"  true directed pairs={n_pairs} slot-visit overcompute="
+          f"{visits / n_pairs:.1f}x")
     print(f"  analytic flops/step={flops:.3e}  measured {dt_step*1e3:.3f} "
           f"ms/step -> {flop_s:.3e} FLOP/s = {100*flop_s/VPU_PEAK:.1f}% "
           f"of VPU peak")
