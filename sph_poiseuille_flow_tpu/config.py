@@ -135,6 +135,11 @@ class SPHConfig:
     neighbor_capacity: int = 48     # compacted per-particle candidate slots
     neighbor_skin: float = 0.0      # extra candidate radius (enables reuse)
     rebuild_every: int = 1          # candidate-list refresh cadence (steps)
+    # lane-packed grid columns for the fused engine (0 = auto cost-model
+    # pick; SPH_LANEPACK_NX env still overrides for probing). At integer
+    # cell_x/dp ratios the pristine per-cell occupancy drops a full
+    # lattice column, admitting a smaller cell_capacity
+    lane_pack_nx: int = 0
     # one-sided wall viscous factor: 4.0 is the reference's hard-coded
     # calibration (sph_physics_mex.c:383-388, 526); adjustable to calibrate
     # out the first-order wall-slip bias of the scheme

@@ -119,8 +119,9 @@ def _lane_packed_nx(cfg, cand_cutoff: float, y_span: float) -> int:
     nx_max = max(1, int(math.floor(cfg.DL / cand_cutoff)))
     if nx_max < 3:
         return nx_max
-    force = os.environ.get("SPH_LANEPACK_NX")
-    if force:  # tuning escape hatch (experiments/: shape A/B probes)
+    force = os.environ.get("SPH_LANEPACK_NX") \
+        or getattr(cfg, "lane_pack_nx", 0)
+    if force:  # config knob / tuning escape hatch (shape A/B probes)
         return min(int(force), nx_max)
     ny_est = int(math.ceil(y_span / cand_cutoff)) + 2
     k_cols_y = int(math.floor(cand_cutoff / cfg.dp)) + 1
