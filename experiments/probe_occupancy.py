@@ -11,6 +11,7 @@ the shipping K.
 
 Usage: python experiments/probe_occupancy.py [dp] [skin_mul] [K]
 """
+import dataclasses
 import sys
 
 sys.path.insert(0, ".")
@@ -18,22 +19,39 @@ sys.path.insert(0, ".")
 import numpy as np  # noqa: E402
 
 
+def dataclasses_replace_skin(cfg, skin):
+    return dataclasses.replace(cfg, neighbor_skin=skin)
+
+
 def main(dp=0.025, skin_mul=0.3, K=18, nx_force=32, rebuild_every=64,
-         end_time=20.0, interval=1.0):
+         end_time=20.0, interval=1.0, engine_name="pallas"):
     import os
     os.environ.setdefault("SPH_LANEPACK_NX", str(nx_force))
     import jax
     from sph_poiseuille_flow_tpu import (build_scene, derive_config,
                                          initial_state, make_engine)
+    from sph_poiseuille_flow_tpu.ops import neighbors as nbr
+    # trajectories are engine-independent (the engines are validated
+    # bit-identical at matched settings), so off-TPU the cellgrid engine
+    # (SPH_OCC_ENGINE=cellgrid) produces the same positions the fused
+    # engine would — the occupancy verdict transfers
+    engine_name = os.environ.get("SPH_OCC_ENGINE", engine_name)
     cfg = derive_config(
         DL=3.0, DH=1.0, dp=dp, rho0=1.0, mu=0.1, U_bulk=0.666667,
         c_f=15.0, end_time=end_time, output_interval=interval,
-        sort_interval=100, restart_from_file=False, engine="pallas",
+        sort_interval=100, restart_from_file=False, engine=engine_name,
         neighbor_skin=skin_mul * dp, rebuild_every=rebuild_every,
         cell_capacity=K, neighbor_capacity=56)
     scene = build_scene(cfg)
     engine = make_engine(cfg, scene)
-    spec = engine.spec
+    # bin with the LANE-PACKED spec geometry of the TARGET fused config
+    # regardless of the engine/knobs driving the trajectory (the
+    # question is fused-layout occupancy; trajectories don't depend on
+    # the skin/rebuild knobs while flags stay clean). SPH_OCC_BIN_SKIN
+    # sets the target skin multiple (default 0.3).
+    bin_cfg = dataclasses_replace_skin(
+        cfg, float(os.environ.get("SPH_OCC_BIN_SKIN", "0.3")) * dp)
+    spec = nbr.make_grid_spec(bin_cfg, scene, lane_pack=True)
     print(f"spec: nx={spec.nx} cell_x={spec.cell_x / dp:.3f}dp "
           f"cell_y={spec.cell_y / dp:.3f}dp K={spec.K} "
           f"skin_x={spec.skin_x / dp:.3f}dp skin_y={spec.skin_y / dp:.3f}dp",
