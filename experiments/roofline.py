@@ -102,7 +102,8 @@ def main(dp=0.025):
         from sph_poiseuille_flow_tpu.ops import fused_cell as fc
         lay = cands
         scal = (cfg.rho0, cfg.p0, cfg.c_f, cfg.inv_sigma0,
-                cfg.transport_coeff, cfg.g, cfg.mu, cfg.wall_visc_factor)
+                cfg.transport_coeff, cfg.gravity_g, cfg.mu,
+                cfg.wall_visc_factor)
 
         def one_chunk(xH, yH, vxH, vyH, drP):
             return fc.fused_chunk_call(

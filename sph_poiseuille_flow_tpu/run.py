@@ -48,6 +48,11 @@ def main(argv=None) -> int:
                         help="candidate-list rebuild cadence in steps "
                              "(requires a neighbor skin covering the "
                              "displacement between rebuilds)")
+    parser.add_argument("--lane-pack-nx", type=int, default=0,
+                        help="fused-engine grid column count (0 = cost-"
+                             "model pick; integer cell_x/dp ratios drop a "
+                             "full lattice column of pristine occupancy, "
+                             "admitting a smaller --cell-capacity)")
     parser.add_argument("--step-log-every", type=int, default=0,
                         help="emit the reference's per-step log line every "
                              "N steps from inside the device loop "
@@ -96,6 +101,15 @@ def main(argv=None) -> int:
         # must run before any jax backend initializes
         from .parallel.virtual import ensure_devices
         ensure_devices(args.mesh)
+    elif os.environ.get("JAX_PLATFORMS"):
+        # Honor an explicit JAX_PLATFORMS even under interpreters whose
+        # sitecustomize eagerly pins a TPU plugin platform (which makes
+        # jax ignore the env var): re-pin via jax.config before any
+        # backend initializes, exactly like tests/conftest.py. Without
+        # this, `JAX_PLATFORMS=cpu python -m sph_poiseuille_flow_tpu.run`
+        # still dials the TPU tunnel (and hangs if it is down).
+        import jax
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
     if args.postprocess_only:
         from .utils.postprocess import postprocess_file
@@ -115,7 +129,7 @@ def main(argv=None) -> int:
     wall_visc_factor = 4.35 if args.calibrated else args.wall_visc_factor
     cfg = load_config(
         config_path, engine=args.engine, dtype=args.dtype,
-        cell_capacity=args.cell_capacity,
+        cell_capacity=args.cell_capacity, lane_pack_nx=args.lane_pack_nx,
         neighbor_skin=args.neighbor_skin, rebuild_every=args.rebuild_every,
         wall_visc_factor=wall_visc_factor,
         step_log_every=args.step_log_every, ini_overrides=ini_overrides)
