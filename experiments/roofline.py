@@ -34,12 +34,17 @@ def main(dp=0.025):
                                          initial_state, make_engine)
     from sph_poiseuille_flow_tpu.ops import fused_cell as fc
 
+    # shipping fused-grid config (matches bench.py): cell_x = 3dp exactly
+    # where DL divides -> K=14; else the cost-model pick with K=18
+    nx3 = round(3.0 / (3.0 * dp))
+    exact = abs(nx3 * 3.0 * dp - 3.0) < 1e-9
     cfg = derive_config(
         DL=3.0, DH=1.0, dp=dp, rho0=1.0, mu=0.1, U_bulk=0.666667,
         c_f=15.0, end_time=20.0, output_interval=0.5, sort_interval=100,
         restart_from_file=False, engine="pallas",
-        neighbor_skin=0.3 * dp, rebuild_every=64,
-        cell_capacity=18, neighbor_capacity=56)
+        neighbor_skin=0.3 * dp, rebuild_every=128,
+        cell_capacity=14 if exact else 18,
+        lane_pack_nx=nx3 if exact else 0, neighbor_capacity=56)
     scene = build_scene(cfg)
     engine = make_engine(cfg, scene)
     spec = engine.spec
@@ -61,21 +66,26 @@ def main(dp=0.025):
     within = (r2 < cutoff * cutoff)
     n_pairs = int(within.sum())  # directed fluid->all, incl. self
 
+    # --- time per step inside one on-device loop over chunk calls
+    # (warm past the startup transient into developed flow, like bench.py)
+    for _ in range(5):
+        res = engine.run_interval(state, cands, geom, np.float32(0.5))
+        jax.block_until_ready(res.state.x)
+        state, cands, geom = res.state, res.cands, res.geom
+
     # per (sweep, group): kmax anchor-rank iterations, each doing
     # vector work over the full (9K, L) candidate slab — geometry
     # (dx/dy/r/ex/ey/W/dW ~28 flops/slot) plus the sweep body
     # (~8/18/30/10 flops/slot for density/KGC/forces/int2, read from
-    # the kbody arithmetic) — so kmax multiplies EVERYTHING
+    # the kbody arithmetic) — so kmax multiplies EVERYTHING. Measured
+    # AFTER warmup: developed-flow compression raises occupancy over
+    # the pristine lattice (9 -> ~12 at the nx=40 shipping grid).
     kmax = np.asarray(cands.occ).reshape(-1)
     slab = 9 * spec.K * L
     per_slot_sweeps = (28 + 8) + (28 + 18) + (28 + 30) + (28 + 10)
     flops = int(np.sum(kmax)) * slab * per_slot_sweeps
     cand_slots = n_groups * L * 9 * spec.K
 
-    # --- time per step inside one on-device loop over chunk calls
-    res = engine.run_interval(state, cands, geom, np.float32(0.5))
-    jax.block_until_ready(res.state.x)
-    state, cands, geom = res.state, res.cands, res.geom
     steps = 0
     t0 = time.perf_counter()
     for _ in range(2):

@@ -94,3 +94,33 @@ def test_calibrated_flag_sets_wall_visc_factor(tmp_path, monkeypatch):
     assert captured["cfg"].wall_visc_factor == 4.35
     assert run_mod.main(["--config", str(ini)]) == 0
     assert captured["cfg"].wall_visc_factor == 4.0
+
+
+def test_lane_pack_nx_flag_reaches_config(tmp_path, monkeypatch):
+    """--lane-pack-nx forces the fused-engine grid column count (0 =
+    cost-model pick stays the default); the knob must reach the derived
+    config so make_grid_spec(lane_pack=True) honors it."""
+    from sph_poiseuille_flow_tpu import run as run_mod
+
+    ini = tmp_path / "tiny.ini"
+    ini.write_text(
+        "[physical]\nDL = 1.0\nDH = 0.5\ndp = 0.05\nrho0 = 1.0\nmu = 0.4\n"
+        "U_bulk = 0.666667\nc_f = 15.0\n"
+        "[simulation]\nend_time = 0.2\noutput_interval = 0.1\n"
+        "sort_interval = 100\nrestart_from_file = 0\n")
+
+    captured = {}
+
+    class StubSim:
+        def __init__(self, cfg, paths, mesh_devices=None):
+            captured["cfg"] = cfg
+
+        def run(self):
+            return {"particle_steps_per_sec": 0.0, "step": 0,
+                    "passed": True}
+
+    monkeypatch.setattr(run_mod, "Simulation", StubSim)
+    assert run_mod.main(["--config", str(ini), "--lane-pack-nx", "7"]) == 0
+    assert captured["cfg"].lane_pack_nx == 7
+    assert run_mod.main(["--config", str(ini)]) == 0
+    assert captured["cfg"].lane_pack_nx == 0
