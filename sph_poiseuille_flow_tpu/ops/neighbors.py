@@ -109,10 +109,16 @@ def _lane_packed_nx(cfg, cand_cutoff: float, y_span: float) -> int:
     padded lanes, row-group count, per-cell occupancy (the k-loop bound),
     and the candidate-slab sublane tiles. Occupancy is estimated from the
     lattice-aliasing bound — a window of width w covers at most
-    floor(w/dp)+1 lattice columns — plus a compression margin of 2
-    (matches measured developed-flow maxima at dp=0.025: cell 3.35dp ->
-    bound 16, observed 17-18; cell 3.75x2.9dp -> bound 12, observed <=
-    14). Wider-than-``cand_cutoff`` x cells are allowed — they only
+    floor(w/dp)+1 lattice columns, except at INTEGER w/dp where uniform
+    x-translation is occupancy-invariant (a column enters exactly as one
+    leaves) so the bound is w/dp exactly — plus a measured developed-flow
+    compression margin: +3 over the pristine count at integer ratios
+    (cell 3.0dp x 2.9dp: pristine 9, full-20 s max 12), +4 at non-integer
+    ratios where aliasing and compression compound (cell 3.75dp x 2.9dp:
+    pristine 12, K=15 overflowed the full run while K=18 stayed clean).
+    Integer-ratio grids therefore win the cost model at equal work — the
+    shipping dp=0.025 config (nx=40, K=14) is such a pick.
+    Wider-than-``cand_cutoff`` x cells are allowed — they only
     ENLARGE the per-axis x drift budget (``GridSpec.skin_x``) — but any
     nx whose occupancy estimate exceeds ``cfg.cell_capacity`` is rejected
     (it would overflow the configured slot capacity)."""
@@ -127,13 +133,17 @@ def _lane_packed_nx(cfg, cand_cutoff: float, y_span: float) -> int:
     k_cols_y = int(math.floor(cand_cutoff / cfg.dp)) + 1
     cutoff = 2.0 * cfg.h
 
-    def pick(min_skin_x: float):
+    def pick(min_skin_x: float, margins=(3, 4)):
         best = None
         for nx in range(3, nx_max + 1):
             cell_x = cfg.DL / nx
             if cell_x - cutoff < min_skin_x:
                 continue
-            k_req = ((int(math.floor(cell_x / cfg.dp)) + 1) * k_cols_y + 2)
+            ratio = cell_x / cfg.dp
+            exact = abs(ratio - round(ratio)) < 1e-9
+            k_cols_x = int(round(ratio)) if exact \
+                else int(math.floor(ratio)) + 1
+            k_req = k_cols_x * k_cols_y + margins[0 if exact else 1]
             if k_req > cfg.cell_capacity:
                 continue
             slab_tiles = -(-9 * k_req // 8)
@@ -152,10 +162,19 @@ def _lane_packed_nx(cfg, cand_cutoff: float, y_span: float) -> int:
     # x drift is shear-dominated (the channel profile differentiates
     # x positions across rows), so the x budget must comfortably exceed
     # the radial skin or the drift guard rebuilds on x long before y;
-    # require skin_x >= 3*skin where possible, else fall back
+    # require skin_x >= 3*skin where possible, else fall back. (With the
+    # predictive drift guard a tight skin_x only shortens the rebuild
+    # cadence — the integer-ratio picks from the relaxed pass measure
+    # FASTER than wide-cell picks despite more rebuilds.)
     best = pick(3.0 * cfg.neighbor_skin)
     if best is None:
         best = pick(0.0)
+    if best is None:
+        # legacy occupancy margin (+2 uniformly): keeps pre-existing
+        # validated combos resolving to their historical grids (e.g.
+        # skin=0.75dp, K=18 -> nx=32 at dp=0.025) when the measured
+        # margins above would reject every candidate
+        best = pick(0.0, margins=(2, 2))
     return best[1] if best is not None else nx_max
 
 
