@@ -174,3 +174,46 @@ def test_displacement_guard():
     x_wrap = x.copy()
     x_wrap[0] = np.float32(np.mod(x_wrap[0] - 0.4 * spec.skin / 2, cfg.DL))
     assert not bool(nbr.displacement_exceeded(spec, cands, x_wrap, y))
+
+
+class TestLanePackedNxPicker:
+    """Lock the auto-nx cost model's picks for the validated grids: the
+    integer-ratio shipping config, the legacy-margin fallback combos, the
+    force knob, and the integer-ratio generalization across dp."""
+
+    @staticmethod
+    def _spec(dp, K, skin_mult, **kw):
+        cfg = default_cfg(DL=3.0, DH=1.0, dp=dp, end_time=20.0,
+                          engine="pallas", neighbor_skin=skin_mult * dp,
+                          cell_capacity=K, **kw)
+        scene = build_scene(cfg)
+        return nbr.make_grid_spec(cfg, scene, lane_pack=True)
+
+    def test_shipping_pick_dp025(self):
+        # cell_x = 3dp exactly (occupancy-invariant under x translation):
+        # pristine 9 slots, measured full-20 s max 12, K=14 with margin
+        spec = self._spec(0.025, 14, 0.3)
+        assert spec.nx == 40
+        assert abs(spec.cell_x / 0.025 - 3.0) < 1e-9
+        assert spec.K == 14
+
+    def test_legacy_combo_preserved(self):
+        # the historically validated K=18/skin=0.75dp grid must keep
+        # resolving to nx=32 via the legacy +2-margin fallback pass
+        spec = self._spec(0.025, 18, 0.75)
+        assert spec.nx == 32
+
+    def test_integer_ratio_generalizes(self):
+        # the same K=14 integer-ratio family scales with resolution:
+        # dp=0.01 -> nx=100 keeps cell_x = 3dp exactly
+        spec = self._spec(0.01, 14, 0.3)
+        assert spec.nx == 100
+        assert abs(spec.cell_x / 0.01 - 3.0) < 1e-9
+
+    def test_force_knob_clamped_to_nx_max(self):
+        # lane_pack_nx is an escape hatch; it may never produce cells
+        # narrower than the candidate cutoff
+        spec = self._spec(0.025, 18, 0.75, lane_pack_nx=10_000)
+        assert spec.cell_x >= spec.cand_cutoff - 1e-12
+        forced = self._spec(0.025, 14, 0.3, lane_pack_nx=40)
+        assert forced.nx == 40
