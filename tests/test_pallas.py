@@ -139,3 +139,63 @@ def test_expand_exact_beyond_bf16():
     )(jnp.asarray(v))
     expect = np.concatenate([v] * K, axis=1)
     np.testing.assert_array_equal(np.asarray(out), expect)
+
+
+@pytest.fixture(scope="module")
+def engines_shipping():
+    """Shipping-style lane-packed pick, shrunk to an interpret-affordable
+    box: integer-ratio cells (cell_x = 3dp exactly) selected by the
+    measured-margin pass of the cost model with K=14 — the same pick
+    family as the dp=0.025 nx=40 TPU config (docs/SCALING.md). The other
+    pallas tests only reach the legacy-margin fallback picks, so this is
+    the one CPU test driving physics through a shipping-shape grid."""
+    cfg = default_cfg(DL=1.2, DH=0.5, dp=0.05, end_time=0.5,
+                      output_interval=0.25, neighbor_skin=0.015,
+                      cell_capacity=14, rebuild_every=32)
+    scene = build_scene(cfg)
+    return cfg, scene, CellEngine(cfg, scene), PallasCellEngine(cfg, scene)
+
+
+def test_shipping_pick_shape(engines_shipping):
+    cfg, scene, xla, pls = engines_shipping
+    spec = pls.spec
+    assert spec.nx == 8 and spec.K == 14
+    assert spec.cell_x / cfg.dp == pytest.approx(3.0)
+    # integer-ratio cells widen beyond the candidate cutoff: the x drift
+    # budget (cell_x - cutoff - also y-expansion margin) must be strictly
+    # positive or candidate reuse would be unsound
+    assert spec.skin_x > 0.0 and spec.skin_y > 0.0
+
+
+def test_shipping_pick_step_equivalence(engines_shipping):
+    cfg, scene, xla, pls = engines_shipping
+    st = _jittered_state(cfg, scene, initial_state(cfg, scene))
+    sa, la, ga, ova = xla.init(st)
+    sp, lp, gp, ovp = pls.init(st)
+    assert not bool(ova) and not bool(ovp)
+    out_a = xla.step(sa, la, ga, remain=1.0)
+    out_p = pls.step(sp, lp, gp, remain=1.0)
+    st_a, st_p = out_a[0], out_p[0]
+    assert float(out_p[3]) == pytest.approx(float(out_a[3]), rel=1e-6)
+    tols = {"p": dict(rtol=1e-2, atol=2.5e-2),
+            "drho_dt": dict(rtol=5e-3, atol=5e-3)}
+    for name in st_a._fields:
+        tol = tols.get(name, dict(rtol=2e-3, atol=5e-4))
+        np.testing.assert_allclose(np.asarray(getattr(st_p, name)),
+                                   np.asarray(getattr(st_a, name)),
+                                   err_msg=name, **tol)
+
+
+def test_shipping_pick_interval_equivalence(engines_shipping):
+    cfg, scene, xla, pls = engines_shipping
+    state0 = initial_state(cfg, scene)
+    sa, la, ga, _ = xla.init(state0)
+    sp, lp, gp, _ = pls.init(state0)
+    ra = xla.run_interval(sa, la, ga, np.float32(0.03))
+    rp = pls.run_interval(sp, lp, gp, np.float32(0.03))
+    assert int(ra.n_steps) == int(rp.n_steps)
+    assert not bool(rp.overflow) and not bool(rp.skin_guard)
+    assert float(rp.v_max) == pytest.approx(float(ra.v_max), rel=1e-3,
+                                            abs=1e-6)
+    assert float(rp.tau_bottom) == pytest.approx(float(ra.tau_bottom),
+                                                 rel=1e-3, abs=1e-6)
