@@ -13,11 +13,16 @@ throughput numbers (BASELINE.json published: {}), so the denominator is a
 MEASUREMENT of this repo's native C++ executor of the reference semantics
 (native/sph_oracle.cpp: store-once pair list rebuilt every step + the full
 per-step pipeline of SPH_Poiseuille.m:254-283, float64) at the same scale
-on this host: dp=0.025, 4800 fluid particles, 13.94 ms/step => 3.443e5
-particle-steps/sec (experiments/time_oracle.py, 200 steps, 2026-08-16).
-Caveat recorded in BASELINE.md: this host exposes a single CPU core; the
-reference's OpenMP host (unspecified) would scale several of the phases by
-its core count. The north-star (>=100x) corresponds to vs_baseline >= 100.
+on this host: dp=0.025, 4800 fluid particles, 4.58 ms/step => 1.05e6
+particle-steps/sec (experiments/time_oracle.py, 2026-08-18, best of 5
+quiet-host runs — this CORRECTS the round-2 record of 3.443e5, a single
+run taken under CPU contention; see BASELINE.md measurement-history note).
+Caveats recorded in BASELINE.md: this host exposes a single CPU core, but
+the reference's own multicore headroom is Amdahl-bounded at ~2.3x by its
+serial per-step neighbor rebuild (measured phase split, BASELINE.md).
+The north-star (>=100x the OpenMP-MEX) corresponds to vs_baseline >= 100
+against this serial denominator only if OpenMP gains are ignored;
+vs the infinite-core bound, multiply vs_baseline by 0.43.
 """
 
 import json
@@ -26,7 +31,7 @@ import time
 
 import numpy as np
 
-REF_BASELINE_PSPS = 3.443e5  # measured: experiments/time_oracle.py
+REF_BASELINE_PSPS = 1.05e6  # measured: experiments/time_oracle.py (2026-08-18)
 
 
 def main(dp: float = 0.025, n_timed_intervals: int = 2,
