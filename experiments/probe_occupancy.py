@@ -12,11 +12,20 @@ the shipping K.
 Usage: python experiments/probe_occupancy.py [dp] [skin_mul] [K]
 """
 import dataclasses
+import os
 import sys
 
 sys.path.insert(0, ".")
 
 import numpy as np  # noqa: E402
+
+if os.environ.get("JAX_PLATFORMS"):
+    # honor an explicit JAX_PLATFORMS even under interpreters whose
+    # sitecustomize pins jax_platforms at startup (same pattern as
+    # run.py:104-112) — otherwise a CPU-trajectory run hangs trying to
+    # init a dead tunneled device
+    import jax
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 
 def dataclasses_replace_skin(cfg, skin):
