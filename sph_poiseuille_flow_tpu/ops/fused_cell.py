@@ -327,7 +327,32 @@ _PLAIN_OUT = 9      # rhoO pO drhoO fxO fyO fpxO fpyO x2O y2O
 _N_OUT = _HALO_OUT + _PLAIN_OUT + 1   # + cntO
 _N_SCR_FULL = 14    # (9K, L) staging scratches
 _N_ACC = 8          # (K, L) output accumulators
-_N_ASIDE = 5        # (K, L) aside buffers
+_N_ASIDE = 8        # (K, L) aside buffers
+_N_CACHE = 5        # geometry-cache slabs: ex ey r dw*m1 dw*mw
+
+# Geometry cache: within ONE step all four sweeps see the SAME positions
+# (the position cores update only at the end of sweep 3), so the pair
+# geometry computed by sweep 0 — unit vector, distance, kernel gradient,
+# validity masks — is bitwise reusable by sweeps 1-3. When the cache fits
+# VMEM, sweep 0 stores (ex, ey, r, dw*m1, dw*mw) per (group, k) slab and
+# sweep 1 folds in the neighbor volumes (write-back as dw*Vol_j*mask), so
+# sweeps 1-3 skip _geometry (incl. its rsqrt) AND the x/y/isf slab
+# staging — ~35% of the step's flops at the shipping dp=0.025 grid
+# (docs/SCALING.md roofline). Big grids (dp <= 0.01) exceed the budget
+# and keep the recompute path.
+_GEOM_CACHE_BUDGET = 48 * 1024 * 1024
+
+
+def use_geom_cache(spec: GridSpec, dtype) -> bool:
+    """True when the 5-slab per-(group, k) geometry cache fits the VMEM
+    budget (tile-padded estimate) alongside the working set."""
+    R, L, n_groups, nyp = plan(spec)
+    K = spec.K
+    esize = jnp.dtype(dtype).itemsize
+    sub = -(-9 * K // 8) * 8
+    lanes = -(-L // 128) * 128
+    return _N_CACHE * n_groups * K * sub * lanes * esize \
+        <= _GEOM_CACHE_BUDGET
 
 
 def _when(cond):
@@ -339,7 +364,12 @@ def _when(cond):
 
 
 def _step_kernel(*refs, spec, R, L, n_groups, nyp, scalars,
-                 sweep_offset=0):
+                 sweep_offset=0, n_cache=0):
+    if n_cache:
+        cache = refs[-n_cache:]
+        refs = refs[:-n_cache]
+    else:
+        cache = None
     occs, params = refs[9], refs[10]
     sweep = pl.program_id(0) + sweep_offset
     grp = pl.program_id(1)
@@ -348,11 +378,11 @@ def _step_kernel(*refs, spec, R, L, n_groups, nyp, scalars,
     full = scalars[:5] + (params[0, 1], params[0, 2], params[0, 3])
     _kernel_body(refs, spec=spec, R=R, L=L, n_groups=n_groups, nyp=nyp,
                  scalars=full, sweep=sweep, grp=grp, dt=params[0, 0],
-                 kmax=occs[grp, 0])
+                 kmax=occs[grp, 0], cache=cache)
 
 
 def _kernel_body(refs, *, spec, R, L, n_groups, nyp, scalars, sweep, grp,
-                 dt, kmax):
+                 dt, kmax, cache=None):
     """One (sweep, grp) cell of the fused step. ``refs`` uses the v2
     positional layout (occs/dts slots present but unread — sweep/grp/dt/
     kmax arrive as parameters so the chunk kernel can drive the same body
@@ -404,6 +434,13 @@ def _kernel_body(refs, *, spec, R, L, n_groups, nyp, scalars, sweep, grp,
         def kbody(k, cnt):
             af, r, ex, ey, w, dw, m1, mw = _geometry(
                 spec, k, scr[0], scr[1], scr[2])
+            if cache is not None:
+                ck = grp * K + k
+                cache[0][ck, :, :] = ex
+                cache[1][ck, :, :] = ey
+                cache[2][ck, :, :] = r
+                cache[3][ck, :, :] = dw * m1
+                cache[4][ck, :, :] = dw * mw
             massv = scr[3][:, :]
             sig_inner = _w0(h) + jnp.sum(w * m1, axis=0, keepdims=True)
             sig_contact = jnp.sum(w * (massv * inv_rho0) * mw, axis=0,
@@ -450,17 +487,34 @@ def _kernel_body(refs, *, spec, R, L, n_groups, nyp, scalars, sweep, grp,
     # ---- sweep 1: kernel gradient correction (c:239-365) ----
     @_when(sweep == 1)
     def _kgc():
-        _stage(scr[0], xC, g0, spec, R)
-        _stage(scr[1], yC, g0, spec, R)
-        _stage(scr[2], isfC, g0, spec, R)
         _stage(scr[3], volO, g0, spec, R)
+        if cache is None:
+            _stage(scr[0], xC, g0, spec, R)
+            _stage(scr[1], yC, g0, spec, R)
+            _stage(scr[2], isfC, g0, spec, R)
+        else:
+            _stage_aside(aside[0], isfC, g0, spec, R, halo=True)
         zero_accs(4)
 
         def kbody(k, carry):
-            af, r, ex, ey, w, dw, m1, mw = _geometry(
-                spec, k, scr[0], scr[1], scr[2], need_w=False)
             volv = scr[3][:, :]
-            rf = r * dw * volv * (m1 + mw)
+            if cache is None:
+                af, r, ex, ey, w, dw, m1, mw = _geometry(
+                    spec, k, scr[0], scr[1], scr[2], need_w=False)
+                rf = r * dw * volv * (m1 + mw)
+            else:
+                ck = grp * K + k
+                ex = cache[0][ck, :, :]
+                ey = cache[1][ck, :, :]
+                r = cache[2][ck, :, :]
+                dwv1 = cache[3][ck, :, :] * volv
+                dwvw = cache[4][ck, :, :] * volv
+                # write-back: sweeps 2-3 consume dw*Vol_j*mask directly,
+                # so the volume fold-in happens exactly once per step
+                cache[3][ck, :, :] = dwv1
+                cache[4][ck, :, :] = dwvw
+                af = aside[0][pl.ds(k, 1), :]
+                rf = r * (dwv1 + dwvw)
             a11 = -jnp.sum(rf * ex * ex, axis=0, keepdims=True)
             a12 = -jnp.sum(rf * ex * ey, axis=0, keepdims=True)
             a22 = -jnp.sum(rf * ey * ey, axis=0, keepdims=True)
@@ -504,10 +558,14 @@ def _kernel_body(refs, *, spec, R, L, n_groups, nyp, scalars, sweep, grp,
     @_when(sweep == 2)
     def _forces():
         rhoHS, pHS, dxsS, dysS = refs[-4], refs[-3], refs[-2], refs[-1]
-        _stage(scr[0], xC, g0, spec, R)
-        _stage(scr[1], yC, g0, spec, R)
-        _stage(scr[2], isfC, g0, spec, R)
-        _stage(scr[3], volO, g0, spec, R)
+        if cache is None:
+            _stage(scr[0], xC, g0, spec, R)
+            _stage(scr[1], yC, g0, spec, R)
+            _stage(scr[2], isfC, g0, spec, R)
+            _stage(scr[3], volO, g0, spec, R)
+        else:
+            _stage_aside(aside[1], isfC, g0, spec, R, halo=True)
+            _stage_aside(aside[2], volO, g0, spec, R, halo=True)
         _stage(scr[4], vxC, g0, spec, R)
         _stage(scr[5], vyC, g0, spec, R)
         _stage(scr[6], b11O, g0, spec, R)
@@ -522,10 +580,24 @@ def _kernel_body(refs, *, spec, R, L, n_groups, nyp, scalars, sweep, grp,
         zero_accs(8)
 
         def kbody(k, carry):
-            af, r, ex, ey, w, dw, m1, mw = _geometry(
-                spec, k, scr[0], scr[1], scr[2], need_w=False)
             A = pl.ds(4 * K + k, 1)
-            volv = scr[3][:, :]
+            if cache is None:
+                af, r, ex, ey, w, dw, m1, mw = _geometry(
+                    spec, k, scr[0], scr[1], scr[2], need_w=False)
+                volv = scr[3][:, :]
+                dwv = dw * volv
+                dwv1 = dwv * m1
+                dwvw = dwv * mw
+                vola = scr[3][A, :]
+            else:
+                ck = grp * K + k
+                ex = cache[0][ck, :, :]
+                ey = cache[1][ck, :, :]
+                r = cache[2][ck, :, :]
+                dwv1 = cache[3][ck, :, :]
+                dwvw = cache[4][ck, :, :]
+                af = aside[1][pl.ds(k, 1), :]
+                vola = aside[2][pl.ds(k, 1), :]
             vxa, vxv = scr[4][A, :], scr[4][:, :]
             vya, vyv = scr[5][A, :], scr[5][:, :]
             b11a, b11v = scr[6][A, :], scr[6][:, :]
@@ -535,10 +607,8 @@ def _kernel_body(refs, *, spec, R, L, n_groups, nyp, scalars, sweep, grp,
             rhoha, rhohv = scr[10][A, :], scr[10][:, :]
             pha, phv = scr[11][A, :], scr[11][:, :]
             wvxv, wvyv = scr[12][:, :], scr[13][:, :]
-            vola = scr[3][A, :]
             massa = aside[0][pl.ds(k, 1), :]
             mass_safe = jnp.where(massa > 0, massa, 1.0)
-            dwv = dw * volv
             inv_denom = 1.0 / (r + 0.01 * h)
 
             # corrected-gradient projections, reused for BOTH the eBe
@@ -551,8 +621,8 @@ def _kernel_body(refs, *, spec, R, L, n_groups, nyp, scalars, sweep, grp,
             ebe_w = ex * tx_w + ey * ty_w
 
             # viscous, 4.0 no-slip wall factor (c:466-545)
-            cf_p = ebe_f * mu * dwv * inv_denom * m1
-            cw_p = wf * ebe_w * mu * dwv * inv_denom * mw
+            cf_p = ebe_f * mu * inv_denom * dwv1
+            cw_p = wf * ebe_w * mu * inv_denom * dwvw
             acc_x = jnp.sum(cf_p * (vxa - vxv) + cw_p * (vxa - wvxv),
                             axis=0, keepdims=True)
             acc_y = jnp.sum(cf_p * (vya - vyv) + cw_p * (vya - wvyv),
@@ -562,9 +632,9 @@ def _kernel_body(refs, *, spec, R, L, n_groups, nyp, scalars, sweep, grp,
 
             # shifting increment, -2 wall mirror factor (c:633-709);
             # reuses the tx/ty projections computed above
-            inc_x = jnp.sum(-dwv * m1 * tx_f - 2.0 * dwv * mw * tx_w,
+            inc_x = jnp.sum(-dwv1 * tx_f - 2.0 * dwvw * tx_w,
                             axis=0, keepdims=True)
-            inc_y = jnp.sum(-dwv * m1 * ty_f - 2.0 * dwv * mw * ty_w,
+            inc_y = jnp.sum(-dwv1 * ty_f - 2.0 * dwvw * ty_w,
                             axis=0, keepdims=True)
             limiter = jnp.clip(
                 100.0 * (inc_x * inc_x + inc_y * inc_y) / (h * h), 0.0, 1.0)
@@ -582,11 +652,11 @@ def _kernel_body(refs, *, spec, R, L, n_groups, nyp, scalars, sweep, grp,
             ay_prior = fpy / mass_safe
             face_acc = -(ax_prior * ex + ay_prior * ey)
             p_wall = pha + rhoha * r * jnp.maximum(0.0, face_acc)
-            pacc_x = -jnp.sum((p_face * tx_f * m1
-                               + (pha + p_wall) * tx_w * mw) * dwv,
+            pacc_x = -jnp.sum(p_face * tx_f * dwv1
+                              + (pha + p_wall) * tx_w * dwvw,
                               axis=0, keepdims=True)
-            pacc_y = -jnp.sum((p_face * ty_f * m1
-                               + (pha + p_wall) * ty_w * mw) * dwv,
+            pacc_y = -jnp.sum(p_face * ty_f * dwv1
+                              + (pha + p_wall) * ty_w * dwvw,
                               axis=0, keepdims=True)
             fx = jnp.where(af > 0, pacc_x * vola, 0.0)
             fy = jnp.where(af > 0, pacc_y * vola, 0.0)
@@ -622,10 +692,15 @@ def _kernel_body(refs, *, spec, R, L, n_groups, nyp, scalars, sweep, grp,
     @_when(sweep == 3)
     def _continuity():
         rhoHS, pHS, dxsS, dysS = refs[-4], refs[-3], refs[-2], refs[-1]
-        _stage(scr[0], xC, g0, spec, R)
-        _stage(scr[1], yC, g0, spec, R)
-        _stage(scr[2], isfC, g0, spec, R)
-        _stage(scr[3], volO, g0, spec, R)
+        if cache is None:
+            _stage(scr[0], xC, g0, spec, R)
+            _stage(scr[1], yC, g0, spec, R)
+            _stage(scr[2], isfC, g0, spec, R)
+            _stage(scr[3], volO, g0, spec, R)
+        else:
+            _stage_aside(aside[5], isfC, g0, spec, R, halo=True)
+            _stage_aside(aside[6], xC, g0, spec, R, halo=True)
+            _stage_aside(aside[7], yC, g0, spec, R, halo=True)
         _stage(scr[4], vx2O, g0, spec, R)
         _stage(scr[5], vy2O, g0, spec, R)
         _stage(scr[6], wvxC, g0, spec, R)
@@ -642,24 +717,42 @@ def _kernel_body(refs, *, spec, R, L, n_groups, nyp, scalars, sweep, grp,
         # (_BIG_X for empty slots) — a zero there would (a) teleport empty
         # slots to x=0 inside the domain for the next chunk step and
         # (b) blow up the displacement guard against the _BIG_X ref core
-        acc[3][:, :] = scr[0][4 * K:5 * K, :]
-        acc[4][:, :] = scr[1][4 * K:5 * K, :]
+        if cache is None:
+            acc[3][:, :] = scr[0][4 * K:5 * K, :]
+            acc[4][:, :] = scr[1][4 * K:5 * K, :]
+        else:
+            acc[3][:, :] = aside[6][:, :]
+            acc[4][:, :] = aside[7][:, :]
 
         def kbody(k, carry):
-            af, r, ex, ey, w, dw, m1, mw = _geometry(
-                spec, k, scr[0], scr[1], scr[2], need_w=False)
             A = pl.ds(4 * K + k, 1)
             kA = pl.ds(k, 1)
-            volv = scr[3][:, :]
+            if cache is None:
+                af, r, ex, ey, w, dw, m1, mw = _geometry(
+                    spec, k, scr[0], scr[1], scr[2], need_w=False)
+                volv = scr[3][:, :]
+                dwv = dw * volv
+                dwv1 = dwv * m1
+                dwvw = dwv * mw
+                xa = scr[0][A, :]
+                ya = scr[1][A, :]
+            else:
+                ck = grp * K + k
+                ex = cache[0][ck, :, :]
+                ey = cache[1][ck, :, :]
+                dwv1 = cache[3][ck, :, :]
+                dwvw = cache[4][ck, :, :]
+                af = aside[5][kA, :]
+                xa = aside[6][kA, :]
+                ya = aside[7][kA, :]
             vx2a, vx2v = scr[4][A, :], scr[4][:, :]
             vy2a, vy2v = scr[5][A, :], scr[5][:, :]
             wvxv, wvyv = scr[6][:, :], scr[7][:, :]
             rhoha = aside[0][kA, :]
-            dwv = dw * volv
 
             u_jump_f = (vx2a - vx2v) * ex + (vy2a - vy2v) * ey
             u_jump_w = 2.0 * ((vx2a - wvxv) * ex + (vy2a - wvyv) * ey)
-            rate = jnp.sum((u_jump_f * m1 + u_jump_w * mw) * dwv,
+            rate = jnp.sum(u_jump_f * dwv1 + u_jump_w * dwvw,
                            axis=0, keepdims=True)
             drho_new = jnp.where(af > 0, rate * rhoha, 0.0)
             rho_new = rhoha + 0.5 * dt * drho_new
@@ -669,8 +762,6 @@ def _kernel_body(refs, *, spec, R, L, n_groups, nyp, scalars, sweep, grp,
 
             # positions: shift + half drift (old v) + half drift (new v);
             # walls never move
-            xa = scr[0][A, :]
-            ya = scr[1][A, :]
             vxa_old = aside[1][kA, :]
             vya_old = aside[2][kA, :]
             x2 = xa + aside[3][kA, :] + 0.5 * dt * (vxa_old + vx2a)
@@ -704,9 +795,11 @@ def _fused_call(spec: GridSpec, cores, occ, dt, scalars):
     halo_shape = (nyp + 2, K, nx + 2)
     plain_shape = (nyp, K, nx)
 
+    gc = use_geom_cache(spec, dtype)
     kernel = functools.partial(_step_kernel, spec=spec, R=R, L=L,
                                n_groups=n_groups, nyp=nyp,
-                               scalars=scalars[:5] + (None, None, None))
+                               scalars=scalars[:5] + (None, None, None),
+                               n_cache=_N_CACHE if gc else 0)
     out_shape = ([jax.ShapeDtypeStruct(halo_shape, dtype)] * _HALO_OUT
                  + [jax.ShapeDtypeStruct(plain_shape, dtype)] * _PLAIN_OUT
                  + [jax.ShapeDtypeStruct((n_groups, L), dtype)])
@@ -728,7 +821,9 @@ def _fused_call(spec: GridSpec, cores, occ, dt, scalars):
             + [pltpu.VMEM(halo_shape, dtype),    # rho_half core
                pltpu.VMEM(halo_shape, dtype),    # p_half core
                pltpu.VMEM(plain_shape, dtype),   # dx_shift core
-               pltpu.VMEM(plain_shape, dtype)]), # dy_shift core
+               pltpu.VMEM(plain_shape, dtype)]   # dy_shift core
+            + ([pltpu.VMEM((n_groups * K, 9 * K, L), dtype)
+                for _ in range(_N_CACHE)] if gc else [])),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
@@ -744,7 +839,7 @@ _C_IN = 14   # xH0 yH0 vxH0 vyH0 drP0 isfC massC wvxC wvyC refxP
 #              params row: [t, t_comp, interval, g, mu, wf, 0, 0]
 _C_STATE = 5  # leading outputs: xHs yHs vxHs vyHs drPs (working state)
 
-def _chunk_kernel(*refs, spec, R, L, n_groups, nyp, scalars):
+def _chunk_kernel(*refs, spec, R, L, n_groups, nyp, scalars, n_cache=0):
     """Run up to ``nsub`` whole physics steps inside ONE kernel: the state
     cores live in the output refs (VMEM) across steps, the four pair
     sweeps reuse ``_kernel_body`` verbatim, and the per-step XLA glue
@@ -759,6 +854,11 @@ def _chunk_kernel(*refs, spec, R, L, n_groups, nyp, scalars):
     nx, K, h = spec.nx, spec.K, spec.h
     DL = spec.DL
 
+    if n_cache:
+        cache = refs[-n_cache:]
+        refs = refs[:-n_cache]
+    else:
+        cache = None
     (xH0, yH0, vxH0, vyH0, drP0, isfC, massC, wvxC, wvyC,
      refxP, refyP, occs, params, nsub) = refs[:_C_IN]
     state = refs[_C_IN:_C_IN + _C_STATE]
@@ -813,7 +913,7 @@ def _chunk_kernel(*refs, spec, R, L, n_groups, nyp, scalars):
                 _kernel_body(body_refs, spec=spec, R=R, L=L,
                              n_groups=n_groups, nyp=nyp,
                              scalars=full_scalars, sweep=s, grp=grp,
-                             dt=dt, kmax=occs[grp, 0])
+                             dt=dt, kmax=occs[grp, 0], cache=cache)
                 return carry
             jax.lax.fori_loop(0, n_groups, gbody, 0)
 
@@ -886,8 +986,10 @@ def fused_chunk_call(spec: GridSpec, lay: FusedLayout, xH, yH, vxH, vyH,
     halo_shape = (nyp + 2, K, nx + 2)
     plain_shape = (nyp, K, nx)
     scalars = (rho0, p0, c_f, inv_sigma0, transport_coeff)
+    gc = use_geom_cache(spec, dtype)
     kernel = functools.partial(_chunk_kernel, spec=spec, R=R, L=L,
-                               n_groups=n_groups, nyp=nyp, scalars=scalars)
+                               n_groups=n_groups, nyp=nyp, scalars=scalars,
+                               n_cache=_N_CACHE if gc else 0)
     params = jnp.stack([jnp.asarray(t_local, dtype),
                         jnp.asarray(t_comp, dtype),
                         jnp.asarray(interval_len, dtype),
@@ -921,7 +1023,9 @@ def fused_chunk_call(spec: GridSpec, lay: FusedLayout, xH, yH, vxH, vyH,
             + [pltpu.VMEM(halo_shape, dtype),    # rho_half core
                pltpu.VMEM(halo_shape, dtype),    # p_half core
                pltpu.VMEM(plain_shape, dtype),   # dx_shift core
-               pltpu.VMEM(plain_shape, dtype)]), # dy_shift core
+               pltpu.VMEM(plain_shape, dtype)]   # dy_shift core
+            + ([pltpu.VMEM((n_groups * K, 9 * K, L), dtype)
+                for _ in range(_N_CACHE)] if gc else [])),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
