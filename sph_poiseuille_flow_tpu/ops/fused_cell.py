@@ -363,8 +363,67 @@ def _when(cond):
     return pl.when(cond)
 
 
+def _k_unroll() -> int:
+    """Anchor-rank unroll factor of the slab-form k-loops (env knob
+    SPH_FUSED_UNROLL, read at trace time). Each k-iteration streams every
+    staged (9K, L) candidate slab from VMEM — the measured per-step
+    bottleneck (~75% of in-kernel time at the dp=0.025 shipping grid) —
+    while the slab values are identical across k (only the anchor row
+    changes). Processing U ranks per iteration lets Mosaic's elementwise
+    fusion reuse each loaded slab tile for U anchor chains, cutting the
+    shared-field traffic by ~U."""
+    import os
+    return max(1, int(os.environ.get("SPH_FUSED_UNROLL", "1")))
+
+
+def _kloop(kmax, K, unroll, body, carry0):
+    """fori over anchor ranks, ``unroll`` ranks per iteration.
+    ``body(k, valid, carry) -> carry`` must guard its stores with
+    ``_when(valid)`` and mask carry contributions via ``_maskv`` —
+    ``valid`` is literal True for rank 0 of each iteration (always in
+    range) and a traced bool for the tail ranks; k arrives clamped to
+    K-1 so reads stay in bounds."""
+    if unroll <= 1:
+        return jax.lax.fori_loop(
+            0, kmax, lambda k, c: body(k, True, c), carry0)
+    n_it = (kmax + unroll - 1) // unroll
+
+    def ubody(i, c):
+        for j in range(unroll):
+            k = i * unroll + j
+            if j == 0:
+                c = body(k, True, c)
+            else:
+                c = body(jnp.minimum(k, K - 1), k < kmax, c)
+        return c
+
+    return jax.lax.fori_loop(0, n_it, ubody, carry0)
+
+
+def _maskv(valid, v):
+    """Zero ``v`` on tail (invalid) unrolled ranks."""
+    return v if valid is True else jnp.where(valid, v, jnp.zeros_like(v))
+
+
+# Loop-order selection: "slabs" = anchor-rank-outer (each of kmax
+# iterations re-streams every (9K, L) candidate slab from VMEM — the
+# measured bottleneck: ~160 MB/step of VMEM reads at the dp=0.025
+# shipping grid), "rows" = candidate-row-outer (each slab row is
+# streamed ONCE per sweep as a (1, L) load and computed against ALL K
+# anchor ranks held in registers as (K, L) values; reductions become
+# register-resident accumulator adds). Env override SPH_FUSED_ROWS=0/1.
+def use_rows(spec: GridSpec, dtype) -> bool:
+    import os
+    v = os.environ.get("SPH_FUSED_ROWS", "auto")
+    if v == "1":
+        return True
+    if v == "0":
+        return False
+    return False  # default until measured on hardware
+
+
 def _step_kernel(*refs, spec, R, L, n_groups, nyp, scalars,
-                 sweep_offset=0, n_cache=0):
+                 sweep_offset=0, n_cache=0, rows=False):
     if n_cache:
         cache = refs[-n_cache:]
         refs = refs[:-n_cache]
@@ -376,9 +435,14 @@ def _step_kernel(*refs, spec, R, L, n_groups, nyp, scalars,
     # (g, mu, wall_visc_factor) arrive via SMEM so sweeps over them reuse
     # ONE compile (the remaining scalars are true physics constants)
     full = scalars[:5] + (params[0, 1], params[0, 2], params[0, 3])
-    _kernel_body(refs, spec=spec, R=R, L=L, n_groups=n_groups, nyp=nyp,
-                 scalars=full, sweep=sweep, grp=grp, dt=params[0, 0],
-                 kmax=occs[grp, 0], cache=cache)
+    if rows:
+        _kernel_body_rows(refs, spec=spec, R=R, L=L, n_groups=n_groups,
+                          nyp=nyp, scalars=full, sweep=sweep, grp=grp,
+                          dt=params[0, 0], kmax=occs[grp, 0], occs=occs)
+    else:
+        _kernel_body(refs, spec=spec, R=R, L=L, n_groups=n_groups,
+                     nyp=nyp, scalars=full, sweep=sweep, grp=grp,
+                     dt=params[0, 0], kmax=occs[grp, 0], cache=cache)
 
 
 def _kernel_body(refs, *, spec, R, L, n_groups, nyp, scalars, sweep, grp,
@@ -431,16 +495,18 @@ def _kernel_body(refs, *, spec, R, L, n_groups, nyp, scalars, sweep, grp,
         zero_accs(3)
         inv_rho0 = 1.0 / rho0
 
-        def kbody(k, cnt):
+        def kbody(k, valid, cnt):
             af, r, ex, ey, w, dw, m1, mw = _geometry(
                 spec, k, scr[0], scr[1], scr[2])
             if cache is not None:
-                ck = grp * K + k
-                cache[0][ck, :, :] = ex
-                cache[1][ck, :, :] = ey
-                cache[2][ck, :, :] = r
-                cache[3][ck, :, :] = dw * m1
-                cache[4][ck, :, :] = dw * mw
+                @_when(valid)
+                def _():
+                    ck = grp * K + k
+                    cache[0][ck, :, :] = ex
+                    cache[1][ck, :, :] = ey
+                    cache[2][ck, :, :] = r
+                    cache[3][ck, :, :] = dw * m1
+                    cache[4][ck, :, :] = dw * mw
             massv = scr[3][:, :]
             sig_inner = _w0(h) + jnp.sum(w * m1, axis=0, keepdims=True)
             sig_contact = jnp.sum(w * (massv * inv_rho0) * mw, axis=0,
@@ -460,15 +526,21 @@ def _kernel_body(refs, *, spec, R, L, n_groups, nyp, scalars, sweep, grp,
                           rho + 0.5 * dt * dra),
                 rho)
             p_half = jnp.where(af > 0, p0 * (rho_half / rho0 - 1.0), 0.0)
-            acc[0][pl.ds(k, 1), :] = vol
-            acc[1][pl.ds(k, 1), :] = rho_half
-            acc[2][pl.ds(k, 1), :] = p_half
+
+            @_when(valid)
+            def _():
+                acc[0][pl.ds(k, 1), :] = vol
+                acc[1][pl.ds(k, 1), :] = rho_half
+                acc[2][pl.ds(k, 1), :] = p_half
+
             # reference pair-count convention (fluid-rooted, store-once):
             # each fluid-fluid pair counted half from both sides
-            return cnt + af * (0.5 * jnp.sum(m1, axis=0, keepdims=True)
-                               + jnp.sum(mw, axis=0, keepdims=True))
+            return cnt + _maskv(valid, af * (
+                0.5 * jnp.sum(m1, axis=0, keepdims=True)
+                + jnp.sum(mw, axis=0, keepdims=True)))
 
-        cnt = jax.lax.fori_loop(0, kmax, kbody, jnp.zeros((1, L), fdtype))
+        cnt = _kloop(kmax, K, _k_unroll(), kbody,
+                     jnp.zeros((1, L), fdtype))
         cntO[pl.ds(grp, 1), :] = cnt
         _flush(volO, acc[0], g0, spec, R, halo=True)
         # rho_half/p_half travel in dedicated halo'd scratch cores appended
@@ -496,7 +568,7 @@ def _kernel_body(refs, *, spec, R, L, n_groups, nyp, scalars, sweep, grp,
             _stage_aside(aside[0], isfC, g0, spec, R, halo=True)
         zero_accs(4)
 
-        def kbody(k, carry):
+        def kbody(k, valid, carry):
             volv = scr[3][:, :]
             if cache is None:
                 af, r, ex, ey, w, dw, m1, mw = _geometry(
@@ -509,10 +581,14 @@ def _kernel_body(refs, *, spec, R, L, n_groups, nyp, scalars, sweep, grp,
                 r = cache[2][ck, :, :]
                 dwv1 = cache[3][ck, :, :] * volv
                 dwvw = cache[4][ck, :, :] * volv
+
                 # write-back: sweeps 2-3 consume dw*Vol_j*mask directly,
                 # so the volume fold-in happens exactly once per step
-                cache[3][ck, :, :] = dwv1
-                cache[4][ck, :, :] = dwvw
+                @_when(valid)
+                def _():
+                    cache[3][ck, :, :] = dwv1
+                    cache[4][ck, :, :] = dwvw
+
                 af = aside[0][pl.ds(k, 1), :]
                 rf = r * (dwv1 + dwvw)
             a11 = -jnp.sum(rf * ex * ex, axis=0, keepdims=True)
@@ -540,13 +616,19 @@ def _kernel_body(refs, *, spec, R, L, n_groups, nyp, scalars, sweep, grp,
             denom_safe = jnp.where(small, 1.0, denom)
             w1 = jnp.where(small, 0.0, det_a / denom_safe)
             w2 = jnp.where(small, 1.0, det_sqr / denom_safe)
-            acc[0][pl.ds(k, 1), :] = jnp.where(af > 0, w1 * p11 + w2, 1.0)
-            acc[1][pl.ds(k, 1), :] = jnp.where(af > 0, w1 * p12, 0.0)
-            acc[2][pl.ds(k, 1), :] = jnp.where(af > 0, w1 * p21, 0.0)
-            acc[3][pl.ds(k, 1), :] = jnp.where(af > 0, w1 * p22 + w2, 1.0)
+
+            @_when(valid)
+            def _():
+                acc[0][pl.ds(k, 1), :] = jnp.where(af > 0,
+                                                   w1 * p11 + w2, 1.0)
+                acc[1][pl.ds(k, 1), :] = jnp.where(af > 0, w1 * p12, 0.0)
+                acc[2][pl.ds(k, 1), :] = jnp.where(af > 0, w1 * p21, 0.0)
+                acc[3][pl.ds(k, 1), :] = jnp.where(af > 0,
+                                                   w1 * p22 + w2, 1.0)
+
             return carry
 
-        jax.lax.fori_loop(0, kmax, kbody, jnp.zeros((1, 1), fdtype))
+        _kloop(kmax, K, _k_unroll(), kbody, jnp.zeros((1, 1), fdtype))
         _flush(b11O, acc[0], g0, spec, R, halo=True)
         _flush(b12O, acc[1], g0, spec, R, halo=True)
         _flush(b21O, acc[2], g0, spec, R, halo=True)
@@ -579,7 +661,7 @@ def _kernel_body(refs, *, spec, R, L, n_groups, nyp, scalars, sweep, grp,
         _stage_aside(aside[0], massC, g0, spec, R, halo=True)
         zero_accs(8)
 
-        def kbody(k, carry):
+        def kbody(k, valid, carry):
             A = pl.ds(4 * K + k, 1)
             if cache is None:
                 af, r, ex, ey, w, dw, m1, mw = _geometry(
@@ -666,17 +748,20 @@ def _kernel_body(refs, *, spec, R, L, n_groups, nyp, scalars, sweep, grp,
             vx2 = jnp.where(af > 0, vxa + (fpx + fx) * inv_m * dt, 0.0)
             vy2 = jnp.where(af > 0, vya + (fpy + fy) * inv_m * dt, 0.0)
 
-            acc[0][pl.ds(k, 1), :] = vx2
-            acc[1][pl.ds(k, 1), :] = vy2
-            acc[2][pl.ds(k, 1), :] = fx
-            acc[3][pl.ds(k, 1), :] = fy
-            acc[4][pl.ds(k, 1), :] = fpx
-            acc[5][pl.ds(k, 1), :] = fpy
-            acc[6][pl.ds(k, 1), :] = shift * inc_x
-            acc[7][pl.ds(k, 1), :] = shift * inc_y
+            @_when(valid)
+            def _():
+                acc[0][pl.ds(k, 1), :] = vx2
+                acc[1][pl.ds(k, 1), :] = vy2
+                acc[2][pl.ds(k, 1), :] = fx
+                acc[3][pl.ds(k, 1), :] = fy
+                acc[4][pl.ds(k, 1), :] = fpx
+                acc[5][pl.ds(k, 1), :] = fpy
+                acc[6][pl.ds(k, 1), :] = shift * inc_x
+                acc[7][pl.ds(k, 1), :] = shift * inc_y
+
             return carry
 
-        jax.lax.fori_loop(0, kmax, kbody, jnp.zeros((1, 1), fdtype))
+        _kloop(kmax, K, _k_unroll(), kbody, jnp.zeros((1, 1), fdtype))
         _flush(vx2O, acc[0], g0, spec, R, halo=True)
         _flush(vy2O, acc[1], g0, spec, R, halo=True)
         _flush(fxO, acc[2], g0, spec, R, halo=False)
@@ -724,7 +809,7 @@ def _kernel_body(refs, *, spec, R, L, n_groups, nyp, scalars, sweep, grp,
             acc[3][:, :] = aside[6][:, :]
             acc[4][:, :] = aside[7][:, :]
 
-        def kbody(k, carry):
+        def kbody(k, valid, carry):
             A = pl.ds(4 * K + k, 1)
             kA = pl.ds(k, 1)
             if cache is None:
@@ -769,14 +854,407 @@ def _kernel_body(refs, *, spec, R, L, n_groups, nyp, scalars, sweep, grp,
             x2 = jnp.where(af > 0, x2, xa)
             y2 = jnp.where(af > 0, y2, ya)
 
-            acc[0][kA, :] = rho_new
-            acc[1][kA, :] = p_new
-            acc[2][kA, :] = drho_new
-            acc[3][kA, :] = x2
-            acc[4][kA, :] = y2
+            @_when(valid)
+            def _():
+                acc[0][kA, :] = rho_new
+                acc[1][kA, :] = p_new
+                acc[2][kA, :] = drho_new
+                acc[3][kA, :] = x2
+                acc[4][kA, :] = y2
+
             return carry
 
-        jax.lax.fori_loop(0, kmax, kbody, jnp.zeros((1, 1), fdtype))
+        _kloop(kmax, K, _k_unroll(), kbody, jnp.zeros((1, 1), fdtype))
+        _flush(rhoO, acc[0], g0, spec, R, halo=False)
+        _flush(pO, acc[1], g0, spec, R, halo=False)
+        _flush(drhoO, acc[2], g0, spec, R, halo=False)
+        _flush(x2O, acc[3], g0, spec, R, halo=False)
+        _flush(y2O, acc[4], g0, spec, R, halo=False)
+
+
+def _kernel_body_rows(refs, *, spec, R, L, n_groups, nyp, scalars, sweep,
+                      grp, dt, kmax, occs):
+    """Candidate-row-outer twin of ``_kernel_body`` (same formulas, same
+    staging slots, same flush layout — every formula citation there
+    applies here). The loop inversion: instead of kmax anchor-rank
+    iterations that each re-stream every (9K, L) candidate slab from
+    VMEM, the candidate loop streams each slab ROW once as a (1, L) load
+    and computes against ALL K anchor ranks held as register-resident
+    (K, L) values; per-pair reductions become accumulator adds carried
+    through the loop, and per-anchor postprocessing (KGC inversion, EOS,
+    kick, limiter) runs once on (K, L) instead of once per rank. The
+    candidate loop is bounded per window ROW OF CELLS (dy) by the
+    occupancy of the row groups it can touch, and the three dx window
+    columns are unrolled inside the body (3 rows per iteration).
+
+    Sweep 2 needs TWO candidate passes: the virtual wall pressure
+    (c:926-950) consumes the anchor's COMPLETED viscous+gravity force,
+    which the slab form has after one in-iteration reduction but the
+    row form only has after the full viscous pass.
+
+    Empty slot ranks (rank >= cell occupancy) differ benignly from the
+    slab form: the slab k-loop never writes them (outputs stay 0 from
+    zero_accs), while the row form computes them masked — af == 0 and
+    mass == 0 force the same 0/identity/pass-through values the
+    consumers expect; positions keep their _BIG_X sentinels."""
+    (rho0, p0, c_f, inv_sigma0, transport_coeff, g, mu, wf) = scalars
+    nx, K, h = spec.nx, spec.K, spec.h
+
+    (xC, yC, vxC, vyC, drC, isfC, massC, wvxC, wvyC) = refs[:9]
+    (volO, b11O, b12O, b21O, b22O, vx2O, vy2O,
+     rhoO, pO, drhoO, fxO, fyO, fpxO, fpyO, x2O, y2O,
+     cntO) = refs[_N_IN:_N_IN + _N_OUT]
+    base = _N_IN + _N_OUT
+    scr = refs[base:base + _N_SCR_FULL]
+    acc = refs[base + _N_SCR_FULL:base + _N_SCR_FULL + _N_ACC]
+    aside = refs[base + _N_SCR_FULL + _N_ACC:
+                 base + _N_SCR_FULL + _N_ACC + _N_ASIDE]
+
+    g0 = grp * R
+    fdtype = xC.dtype
+    A = slice(4 * K, 5 * K)   # center-block rows = the (K, L) anchors
+
+    # per-window-row candidate occupancy bounds: dy=1 spans exactly this
+    # group's rows; dy=0/2 can touch one row of the prev/next group
+    o_self = kmax
+    o_prev = jnp.where(grp > 0, occs[jnp.maximum(grp - 1, 0), 0], 0)
+    o_next = jnp.where(grp < n_groups - 1,
+                       occs[jnp.minimum(grp + 1, n_groups - 1), 0], 0)
+    docc = (jnp.maximum(o_prev, o_self), o_self,
+            jnp.maximum(o_next, o_self))
+
+    def sweep_rows(row_body, accs):
+        for dyw in range(3):
+            def body(kc, accs, dyw=dyw):
+                for dxw in range(3):
+                    accs = row_body((dyw * 3 + dxw) * K + kc, accs)
+                return accs
+            accs = jax.lax.fori_loop(0, docc[dyw], body, accs)
+        return accs
+
+    def geom_row(rr, xa, ya, need_w):
+        """(K, L) pair geometry of all anchors vs candidate row ``rr``
+        (masking discipline identical to _geometry)."""
+        xv = scr[0][pl.ds(rr, 1), :]
+        yv = scr[1][pl.ds(rr, 1), :]
+        isfv = scr[2][pl.ds(rr, 1), :]
+        dx = xa - xv
+        if spec.nx < 3:
+            dx = dx - spec.DL * jnp.round(dx / spec.DL)
+        dyv = ya - yv
+        r2 = dx * dx + dyv * dyv
+        fvalid = ((r2 < spec.cutoff * spec.cutoff)
+                  & (r2 > 1e-24)).astype(fdtype)
+        rs = jax.lax.rsqrt(jnp.maximum(r2, 1e-24))
+        r = r2 * rs
+        sigma = 10.0 / (7.0 * math.pi * h * h)
+        q = r / h
+        tq = 2.0 - q
+        if need_w:
+            w = jnp.where(q < 1.0,
+                          sigma * (1.0 - 1.5 * q * q + 0.75 * q ** 3),
+                          jnp.where(q < 2.0, sigma * 0.25 * tq ** 3, 0.0))
+            w = w * fvalid
+        else:
+            w = None
+        soh = sigma / h
+        dw = jnp.where(q < 1.0, q * (2.25 * soh * q - 3.0 * soh),
+                       jnp.where(q < 2.0, -0.75 * soh * tq * tq, 0.0))
+        m1 = fvalid * isfv
+        mw = fvalid - m1
+        return r, dx * rs, dyv * rs, w, dw, m1, mw
+
+    zkl = jnp.zeros((K, L), fdtype)
+
+    # ---- sweep 0: density (sph_physics_mex.c:178-234) ----
+    @_when(sweep == 0)
+    def _density():
+        @pl.when(grp == 0)
+        def _():
+            for c in (volO, b11O, b12O, b21O, b22O, vx2O, vy2O):
+                c[0, :, :] = jnp.zeros((K, nx + 2), fdtype)
+                c[nyp + 1, :, :] = jnp.zeros((K, nx + 2), fdtype)
+
+        _stage(scr[0], xC, g0, spec, R)
+        _stage(scr[1], yC, g0, spec, R)
+        _stage(scr[2], isfC, g0, spec, R)
+        _stage(scr[3], massC, g0, spec, R)
+        _stage_aside(aside[0], drC, g0, spec, R, halo=False)
+        xa, ya = scr[0][A, :], scr[1][A, :]
+        af = scr[2][A, :]
+        massa = scr[3][A, :]
+        inv_rho0 = 1.0 / rho0
+
+        def rbody(rr, accs):
+            s_in, s_ct, cntA = accs
+            r, ex, ey, w, dw, m1, mw = geom_row(rr, xa, ya, True)
+            massv = scr[3][pl.ds(rr, 1), :]
+            return (s_in + w * m1,
+                    s_ct + w * (massv * inv_rho0) * mw,
+                    cntA + 0.5 * m1 + mw)
+
+        s_in, s_ct, cntA = sweep_rows(rbody, (zkl, zkl, zkl))
+        mass_safe = jnp.where(massa > 0, massa, 1.0)
+        rho = ((_w0(h) + s_in) * rho0 * inv_sigma0
+               + s_ct * rho0 * rho0 * inv_sigma0 / mass_safe)
+        rho = jnp.where(rho <= 1e-12, rho0, rho)
+        rho = jnp.where(af > 0, rho, rho0)   # walls keep rho0
+        vol = jnp.where(massa > 0, mass_safe / rho, 0.0)
+        dra = aside[0][:, :]
+        rho_half = jnp.where(
+            af > 0,
+            jnp.where(rho + 0.5 * dt * dra < 1e-10, rho0,
+                      rho + 0.5 * dt * dra),
+            rho)
+        rho_half = jnp.where(massa > 0, rho_half, 0.0)
+        p_half = jnp.where(af > 0, p0 * (rho_half / rho0 - 1.0), 0.0)
+        acc[0][:, :] = vol
+        acc[1][:, :] = rho_half
+        acc[2][:, :] = p_half
+        # reference pair-count convention (fluid-rooted, store-once)
+        cntO[pl.ds(grp, 1), :] = jnp.sum(af * cntA, axis=0, keepdims=True)
+        _flush(volO, acc[0], g0, spec, R, halo=True)
+        rhoHS, pHS = refs[-4], refs[-3]
+        _flush(rhoHS, acc[1], g0, spec, R, halo=True)
+        _flush(pHS, acc[2], g0, spec, R, halo=True)
+
+        @pl.when(grp == 0)
+        def _():
+            rhoHS[0, :, :] = jnp.zeros((K, nx + 2), fdtype)
+            rhoHS[nyp + 1, :, :] = jnp.zeros((K, nx + 2), fdtype)
+            pHS[0, :, :] = jnp.zeros((K, nx + 2), fdtype)
+            pHS[nyp + 1, :, :] = jnp.zeros((K, nx + 2), fdtype)
+
+    # ---- sweep 1: kernel gradient correction (c:239-365) ----
+    @_when(sweep == 1)
+    def _kgc():
+        _stage(scr[0], xC, g0, spec, R)
+        _stage(scr[1], yC, g0, spec, R)
+        _stage(scr[2], isfC, g0, spec, R)
+        _stage(scr[3], volO, g0, spec, R)
+        xa, ya = scr[0][A, :], scr[1][A, :]
+        af = scr[2][A, :]
+
+        def rbody(rr, accs):
+            a11, a12, a22 = accs
+            r, ex, ey, w, dw, m1, mw = geom_row(rr, xa, ya, False)
+            volv = scr[3][pl.ds(rr, 1), :]
+            rf = r * dw * volv * (m1 + mw)
+            return (a11 - rf * ex * ex, a12 - rf * ex * ey,
+                    a22 - rf * ey * ey)
+
+        a11, a12, a22 = sweep_rows(rbody, (zkl, zkl, zkl))
+        a21 = a12
+        # regularized pseudo-inverse blend (c:321-365)
+        ata11 = a11 * a11 + a21 * a21 + 1e-8
+        ata12 = a11 * a12 + a21 * a22
+        ata22 = a12 * a12 + a22 * a22 + 1e-8
+        det_m = ata11 * ata22 - ata12 * ata12
+        degen = jnp.abs(det_m) < 1e-20
+        det_safe = jnp.where(degen, 1.0, det_m)
+        im11 = ata22 / det_safe
+        im12 = -ata12 / det_safe
+        im22 = ata11 / det_safe
+        p11 = jnp.where(degen, 1.0, im11 * a11 + im12 * a12)
+        p12 = jnp.where(degen, 0.0, im11 * a21 + im12 * a22)
+        p21 = jnp.where(degen, 0.0, im12 * a11 + im22 * a12)
+        p22 = jnp.where(degen, 1.0, im12 * a21 + im22 * a22)
+        det_a = a11 * a22 - a12 * a21
+        det_sqr = jnp.maximum(1.0 - det_a, 0.0)
+        denom = det_a + det_sqr
+        small = jnp.abs(denom) < 1e-12
+        denom_safe = jnp.where(small, 1.0, denom)
+        w1 = jnp.where(small, 0.0, det_a / denom_safe)
+        w2 = jnp.where(small, 1.0, det_sqr / denom_safe)
+        acc[0][:, :] = jnp.where(af > 0, w1 * p11 + w2, 1.0)
+        acc[1][:, :] = jnp.where(af > 0, w1 * p12, 0.0)
+        acc[2][:, :] = jnp.where(af > 0, w1 * p21, 0.0)
+        acc[3][:, :] = jnp.where(af > 0, w1 * p22 + w2, 1.0)
+        _flush(b11O, acc[0], g0, spec, R, halo=True)
+        _flush(b12O, acc[1], g0, spec, R, halo=True)
+        _flush(b21O, acc[2], g0, spec, R, halo=True)
+        _flush(b22O, acc[3], g0, spec, R, halo=True)
+
+    # ---- sweep 2: viscous + shifting + Riemann pressure + kick ----
+    # (c:466-545 viscous, :633-709 shifting, :867-957 pressure,
+    #  :1388-1409 kick) — two candidate passes, see docstring
+    @_when(sweep == 2)
+    def _forces():
+        rhoHS, pHS, dxsS, dysS = refs[-4], refs[-3], refs[-2], refs[-1]
+        _stage(scr[0], xC, g0, spec, R)
+        _stage(scr[1], yC, g0, spec, R)
+        _stage(scr[2], isfC, g0, spec, R)
+        _stage(scr[3], volO, g0, spec, R)
+        _stage(scr[4], vxC, g0, spec, R)
+        _stage(scr[5], vyC, g0, spec, R)
+        _stage(scr[6], b11O, g0, spec, R)
+        _stage(scr[7], b12O, g0, spec, R)
+        _stage(scr[8], b21O, g0, spec, R)
+        _stage(scr[9], b22O, g0, spec, R)
+        _stage(scr[10], rhoHS, g0, spec, R)
+        _stage(scr[11], pHS, g0, spec, R)
+        _stage(scr[12], wvxC, g0, spec, R)
+        _stage(scr[13], wvyC, g0, spec, R)
+        _stage_aside(aside[0], massC, g0, spec, R, halo=True)
+        xa, ya = scr[0][A, :], scr[1][A, :]
+        af = scr[2][A, :]
+        vola = scr[3][A, :]
+        vxa, vya = scr[4][A, :], scr[5][A, :]
+        b11a, b12a = scr[6][A, :], scr[7][A, :]
+        b21a, b22a = scr[8][A, :], scr[9][A, :]
+        massa = aside[0][:, :]
+
+        def rbodyA(rr, accs):
+            acc_x, acc_y, inc_x, inc_y = accs
+            r, ex, ey, w, dw, m1, mw = geom_row(rr, xa, ya, False)
+            volv = scr[3][pl.ds(rr, 1), :]
+            vxv = scr[4][pl.ds(rr, 1), :]
+            vyv = scr[5][pl.ds(rr, 1), :]
+            b11v = scr[6][pl.ds(rr, 1), :]
+            b12v = scr[7][pl.ds(rr, 1), :]
+            b21v = scr[8][pl.ds(rr, 1), :]
+            b22v = scr[9][pl.ds(rr, 1), :]
+            wvxv = scr[12][pl.ds(rr, 1), :]
+            wvyv = scr[13][pl.ds(rr, 1), :]
+            dwv = dw * volv
+            dwv1 = dwv * m1
+            dwvw = dwv * mw
+            tx_f = (b11a + b11v) * ex + (b12a + b12v) * ey
+            ty_f = (b21a + b21v) * ex + (b22a + b22v) * ey
+            tx_w = b11a * ex + b12a * ey
+            ty_w = b21a * ex + b22a * ey
+            ebe_f = ex * tx_f + ey * ty_f
+            ebe_w = ex * tx_w + ey * ty_w
+            inv_denom = 1.0 / (r + 0.01 * h)
+            cf_p = ebe_f * mu * inv_denom * dwv1
+            cw_p = wf * ebe_w * mu * inv_denom * dwvw
+            return (acc_x + cf_p * (vxa - vxv) + cw_p * (vxa - wvxv),
+                    acc_y + cf_p * (vya - vyv) + cw_p * (vya - wvyv),
+                    inc_x - dwv1 * tx_f - 2.0 * dwvw * tx_w,
+                    inc_y - dwv1 * ty_f - 2.0 * dwvw * ty_w)
+
+        acc_x, acc_y, inc_x, inc_y = sweep_rows(
+            rbodyA, (zkl, zkl, zkl, zkl))
+        fpx = jnp.where(af > 0, acc_x * vola + massa * g, 0.0)
+        fpy = jnp.where(af > 0, acc_y * vola, 0.0)
+        limiter = jnp.clip(
+            100.0 * (inc_x * inc_x + inc_y * inc_y) / (h * h), 0.0, 1.0)
+        shift = transport_coeff * h * h * limiter * af
+        mass_safe = jnp.where(massa > 0, massa, 1.0)
+        ax_prior = fpx / mass_safe
+        ay_prior = fpy / mass_safe
+        rhoha = scr[10][A, :]
+        pha = scr[11][A, :]
+
+        def rbodyB(rr, accs):
+            pacc_x, pacc_y = accs
+            r, ex, ey, w, dw, m1, mw = geom_row(rr, xa, ya, False)
+            volv = scr[3][pl.ds(rr, 1), :]
+            vxv = scr[4][pl.ds(rr, 1), :]
+            vyv = scr[5][pl.ds(rr, 1), :]
+            b11v = scr[6][pl.ds(rr, 1), :]
+            b12v = scr[7][pl.ds(rr, 1), :]
+            b21v = scr[8][pl.ds(rr, 1), :]
+            b22v = scr[9][pl.ds(rr, 1), :]
+            rhohv = scr[10][pl.ds(rr, 1), :]
+            phv = scr[11][pl.ds(rr, 1), :]
+            dwv = dw * volv
+            dwv1 = dwv * m1
+            dwvw = dwv * mw
+            tx_f = (b11a + b11v) * ex + (b12a + b12v) * ey
+            ty_f = (b21a + b21v) * ex + (b22a + b22v) * ey
+            tx_w = b11a * ex + b12a * ey
+            ty_w = b21a * ex + b22a * ey
+            rho_bar = 0.5 * (rhoha + rhohv)
+            un_l = vxa * ex + vya * ey
+            un_r = vxv * ex + vyv * ey
+            beta = jnp.minimum(3.0 * jnp.maximum(un_l - un_r, 0.0), c_f)
+            p_avg = 0.5 * (pha + phv)
+            p_star = p_avg + 0.5 * beta * rho_bar * (un_l - un_r)
+            p_face = 0.5 * (p_avg + p_star)
+            face_acc = -(ax_prior * ex + ay_prior * ey)
+            p_wall = pha + rhoha * r * jnp.maximum(0.0, face_acc)
+            return (pacc_x - (p_face * tx_f * dwv1
+                              + (pha + p_wall) * tx_w * dwvw),
+                    pacc_y - (p_face * ty_f * dwv1
+                              + (pha + p_wall) * ty_w * dwvw))
+
+        pacc_x, pacc_y = sweep_rows(rbodyB, (zkl, zkl))
+        fx = jnp.where(af > 0, pacc_x * vola, 0.0)
+        fy = jnp.where(af > 0, pacc_y * vola, 0.0)
+        inv_m = 1.0 / mass_safe
+        vx2 = jnp.where(af > 0, vxa + (fpx + fx) * inv_m * dt, 0.0)
+        vy2 = jnp.where(af > 0, vya + (fpy + fy) * inv_m * dt, 0.0)
+        acc[0][:, :] = vx2
+        acc[1][:, :] = vy2
+        acc[2][:, :] = fx
+        acc[3][:, :] = fy
+        acc[4][:, :] = fpx
+        acc[5][:, :] = fpy
+        acc[6][:, :] = shift * inc_x
+        acc[7][:, :] = shift * inc_y
+        _flush(vx2O, acc[0], g0, spec, R, halo=True)
+        _flush(vy2O, acc[1], g0, spec, R, halo=True)
+        _flush(fxO, acc[2], g0, spec, R, halo=False)
+        _flush(fyO, acc[3], g0, spec, R, halo=False)
+        _flush(fpxO, acc[4], g0, spec, R, halo=False)
+        _flush(fpyO, acc[5], g0, spec, R, halo=False)
+        _flush(dxsS, acc[6], g0, spec, R, halo=False)
+        _flush(dysS, acc[7], g0, spec, R, halo=False)
+
+    # ---- sweep 3: continuity + finalize + position update ----
+    # (c:1073-1116 continuity, :1429-1451 finalize)
+    @_when(sweep == 3)
+    def _continuity():
+        rhoHS, pHS, dxsS, dysS = refs[-4], refs[-3], refs[-2], refs[-1]
+        _stage(scr[0], xC, g0, spec, R)
+        _stage(scr[1], yC, g0, spec, R)
+        _stage(scr[2], isfC, g0, spec, R)
+        _stage(scr[3], volO, g0, spec, R)
+        _stage(scr[4], vx2O, g0, spec, R)
+        _stage(scr[5], vy2O, g0, spec, R)
+        _stage(scr[6], wvxC, g0, spec, R)
+        _stage(scr[7], wvyC, g0, spec, R)
+        _stage_aside(aside[0], rhoHS, g0, spec, R, halo=True)
+        _stage_aside(aside[1], vxC, g0, spec, R, halo=True)
+        _stage_aside(aside[2], vyC, g0, spec, R, halo=True)
+        _stage_aside(aside[3], dxsS, g0, spec, R, halo=False)
+        _stage_aside(aside[4], dysS, g0, spec, R, halo=False)
+        xa, ya = scr[0][A, :], scr[1][A, :]
+        af = scr[2][A, :]
+        vx2a, vy2a = scr[4][A, :], scr[5][A, :]
+
+        def rbody(rr, accs):
+            (rate,) = accs
+            r, ex, ey, w, dw, m1, mw = geom_row(rr, xa, ya, False)
+            volv = scr[3][pl.ds(rr, 1), :]
+            vx2v = scr[4][pl.ds(rr, 1), :]
+            vy2v = scr[5][pl.ds(rr, 1), :]
+            wvxv = scr[6][pl.ds(rr, 1), :]
+            wvyv = scr[7][pl.ds(rr, 1), :]
+            dwv = dw * volv
+            u_jump_f = (vx2a - vx2v) * ex + (vy2a - vy2v) * ey
+            u_jump_w = 2.0 * ((vx2a - wvxv) * ex + (vy2a - wvyv) * ey)
+            return (rate + u_jump_f * dwv * m1 + u_jump_w * dwv * mw,)
+
+        (rate,) = sweep_rows(rbody, (zkl,))
+        rhoha = aside[0][:, :]
+        drho_new = jnp.where(af > 0, rate * rhoha, 0.0)
+        rho_new = rhoha + 0.5 * dt * drho_new
+        rho_new = jnp.where(rho_new < 1e-10, rho0, rho_new)
+        rho_new = jnp.where(af > 0, rho_new, rhoha)
+        p_new = jnp.where(af > 0, p0 * (rho_new / rho0 - 1.0), 0.0)
+        vxa_old = aside[1][:, :]
+        vya_old = aside[2][:, :]
+        x2 = xa + aside[3][:, :] + 0.5 * dt * (vxa_old + vx2a)
+        y2 = ya + aside[4][:, :] + 0.5 * dt * (vya_old + vy2a)
+        x2 = jnp.where(af > 0, x2, xa)   # walls/empties never move
+        y2 = jnp.where(af > 0, y2, ya)
+        acc[0][:, :] = rho_new
+        acc[1][:, :] = p_new
+        acc[2][:, :] = drho_new
+        acc[3][:, :] = x2
+        acc[4][:, :] = y2
         _flush(rhoO, acc[0], g0, spec, R, halo=False)
         _flush(pO, acc[1], g0, spec, R, halo=False)
         _flush(drhoO, acc[2], g0, spec, R, halo=False)
@@ -795,11 +1273,12 @@ def _fused_call(spec: GridSpec, cores, occ, dt, scalars):
     halo_shape = (nyp + 2, K, nx + 2)
     plain_shape = (nyp, K, nx)
 
-    gc = use_geom_cache(spec, dtype)
+    rows = use_rows(spec, dtype)
+    gc = (not rows) and use_geom_cache(spec, dtype)
     kernel = functools.partial(_step_kernel, spec=spec, R=R, L=L,
                                n_groups=n_groups, nyp=nyp,
                                scalars=scalars[:5] + (None, None, None),
-                               n_cache=_N_CACHE if gc else 0)
+                               n_cache=_N_CACHE if gc else 0, rows=rows)
     out_shape = ([jax.ShapeDtypeStruct(halo_shape, dtype)] * _HALO_OUT
                  + [jax.ShapeDtypeStruct(plain_shape, dtype)] * _PLAIN_OUT
                  + [jax.ShapeDtypeStruct((n_groups, L), dtype)])
@@ -839,7 +1318,8 @@ _C_IN = 14   # xH0 yH0 vxH0 vyH0 drP0 isfC massC wvxC wvyC refxP
 #              params row: [t, t_comp, interval, g, mu, wf, 0, 0]
 _C_STATE = 5  # leading outputs: xHs yHs vxHs vyHs drPs (working state)
 
-def _chunk_kernel(*refs, spec, R, L, n_groups, nyp, scalars, n_cache=0):
+def _chunk_kernel(*refs, spec, R, L, n_groups, nyp, scalars, n_cache=0,
+                  rows=False):
     """Run up to ``nsub`` whole physics steps inside ONE kernel: the state
     cores live in the output refs (VMEM) across steps, the four pair
     sweeps reuse ``_kernel_body`` verbatim, and the per-step XLA glue
@@ -910,10 +1390,17 @@ def _chunk_kernel(*refs, spec, R, L, n_groups, nyp, scalars, n_cache=0):
 
         for s in range(4):
             def gbody(grp, carry, s=s):
-                _kernel_body(body_refs, spec=spec, R=R, L=L,
-                             n_groups=n_groups, nyp=nyp,
-                             scalars=full_scalars, sweep=s, grp=grp,
-                             dt=dt, kmax=occs[grp, 0], cache=cache)
+                if rows:
+                    _kernel_body_rows(
+                        body_refs, spec=spec, R=R, L=L,
+                        n_groups=n_groups, nyp=nyp, scalars=full_scalars,
+                        sweep=s, grp=grp, dt=dt, kmax=occs[grp, 0],
+                        occs=occs)
+                else:
+                    _kernel_body(body_refs, spec=spec, R=R, L=L,
+                                 n_groups=n_groups, nyp=nyp,
+                                 scalars=full_scalars, sweep=s, grp=grp,
+                                 dt=dt, kmax=occs[grp, 0], cache=cache)
                 return carry
             jax.lax.fori_loop(0, n_groups, gbody, 0)
 
@@ -986,10 +1473,11 @@ def fused_chunk_call(spec: GridSpec, lay: FusedLayout, xH, yH, vxH, vyH,
     halo_shape = (nyp + 2, K, nx + 2)
     plain_shape = (nyp, K, nx)
     scalars = (rho0, p0, c_f, inv_sigma0, transport_coeff)
-    gc = use_geom_cache(spec, dtype)
+    rows = use_rows(spec, dtype)
+    gc = (not rows) and use_geom_cache(spec, dtype)
     kernel = functools.partial(_chunk_kernel, spec=spec, R=R, L=L,
                                n_groups=n_groups, nyp=nyp, scalars=scalars,
-                               n_cache=_N_CACHE if gc else 0)
+                               n_cache=_N_CACHE if gc else 0, rows=rows)
     params = jnp.stack([jnp.asarray(t_local, dtype),
                         jnp.asarray(t_comp, dtype),
                         jnp.asarray(interval_len, dtype),

@@ -93,6 +93,36 @@ def test_interval_equivalence(engines):
     assert int(rp.n_pairs) == int(ra.n_pairs)
 
 
+@pytest.mark.parametrize("variant", [
+    pytest.param({"SPH_FUSED_ROWS": "1"}, id="rows"),
+    pytest.param({"SPH_FUSED_UNROLL": "2"}, id="unroll2"),
+])
+def test_alternate_loop_forms_step_equivalence(engines, monkeypatch,
+                                               variant):
+    """The measured-and-rejected kernel loop forms (candidate-row-outer
+    'rows' mode; anchor-rank unroll) must stay numerically equivalent to
+    the shipping slab form — they are kept as documented perf probes
+    (docs/SCALING.md) and must not rot."""
+    for k, v in variant.items():
+        monkeypatch.setenv(k, v)
+    cfg, scene, xla, _ = engines
+    pls = PallasCellEngine(cfg, scene)   # fresh trace under the env
+    st = _jittered_state(cfg, scene, initial_state(cfg, scene))
+    sa, la, ga, _ = xla.init(st)
+    sp, lp, gp, ovp = pls.init(st)
+    assert not bool(ovp)
+    out_a = xla.step(sa, la, ga, remain=1.0)
+    out_p = pls.step(sp, lp, gp, remain=1.0)
+    st_a, st_p = out_a[0], out_p[0]
+    tols = {"p": dict(rtol=1e-2, atol=2.5e-2),
+            "drho_dt": dict(rtol=5e-3, atol=5e-3)}
+    for name in st_a._fields:
+        tol = tols.get(name, dict(rtol=2e-3, atol=5e-4))
+        np.testing.assert_allclose(np.asarray(getattr(st_p, name)),
+                                   np.asarray(getattr(st_a, name)),
+                                   err_msg=name, **tol)
+
+
 def test_expand_exact_beyond_bf16():
     """_expand must reproduce candidate values EXACTLY (f32), not bf16.
 
