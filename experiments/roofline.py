@@ -80,9 +80,17 @@ def main(dp=0.025):
     # the kbody arithmetic) — so kmax multiplies EVERYTHING. Measured
     # AFTER warmup: developed-flow compression raises occupancy over
     # the pristine lattice (9 -> ~12 at the nx=40 shipping grid).
+    # With the geometry cache active (fused_cell.use_geom_cache), sweeps
+    # 1-3 replace the 28-flop geometry with 5 slab loads.
+    from sph_poiseuille_flow_tpu.ops.fused_cell import use_geom_cache
+    import jax.numpy as jnp
+    cached = use_geom_cache(spec, jnp.float32)
     kmax = np.asarray(cands.occ).reshape(-1)
     slab = 9 * spec.K * L
-    per_slot_sweeps = (28 + 8) + (28 + 18) + (28 + 30) + (28 + 10)
+    if cached:
+        per_slot_sweeps = (28 + 8) + 18 + 30 + 10   # + 15 cache ld/st
+    else:
+        per_slot_sweeps = (28 + 8) + (28 + 18) + (28 + 30) + (28 + 10)
     flops = int(np.sum(kmax)) * slab * per_slot_sweeps
     cand_slots = n_groups * L * 9 * spec.K
 
@@ -121,10 +129,11 @@ def main(dp=0.025):
                 jnp.asarray(0.0, xH.dtype), jnp.asarray(0.0, xH.dtype),
                 jnp.asarray(1e9, xH.dtype), n_sub, *scal)
 
-        cores = [fc.make_core(spec, lay.pidx, getattr(state, f))
-                 for f in ("x", "y", "vx", "vy")]
-        cores = [fc.halo_ify(spec, c) for c in cores[:4]]
-        drP = fc.make_core(spec, lay.pidx, state.drho_dt)
+        cores = [fc.make_core(spec, lay.pidx, state.x, fill=fc._BIG_X,
+                              xshift=spec.DL)]
+        cores += [fc.make_core(spec, lay.pidx, getattr(state, f))
+                  for f in ("y", "vx", "vy")]
+        drP = fc.make_plain(spec, lay.pidx, state.drho_dt)
         ca = jax.jit(one_chunk).lower(*cores, drP).compile().cost_analysis()
         ca = ca[0] if isinstance(ca, (list, tuple)) else ca
         print(f"  XLA cost_analysis (glue, per {n_sub}-step chunk): "
@@ -140,14 +149,20 @@ def main(dp=0.025):
     # apply: the pair phase is elementwise/reduction work)
     VPU_PEAK = 3.9e12
     HBM_PEAK = 8.1e11
+    # round-3 finding (docs/SCALING.md): the kernel is VPU ISSUE-bound —
+    # the sustainable rate for this op mix (selects, compares, non-FMA
+    # mul/add) is ~1-1.3 ops/lane/cycle, not the 4-flops/lane/cycle
+    # glossy peak. Report both normalizations.
+    ISSUE_PEAK = 1024 * 0.94e9   # 1 vector op/lane/cycle, (8,128) VPU
     print(f"dp={dp}: n_fluid={n_fluid} plan R={R} L={L} groups={n_groups} "
-          f"K={spec.K} cand_slots={cand_slots}")
+          f"K={spec.K} cand_slots={cand_slots} geom_cache={cached}")
     visits = int(np.sum(kmax)) * slab   # candidate-slot visits per sweep
     print(f"  true directed pairs={n_pairs} slot-visit overcompute="
           f"{visits / n_pairs:.1f}x")
     print(f"  analytic flops/step={flops:.3e}  measured {dt_step*1e3:.3f} "
           f"ms/step -> {flop_s:.3e} FLOP/s = {100*flop_s/VPU_PEAK:.1f}% "
-          f"of VPU peak")
+          f"of 4-ops/lane VPU peak = {flop_s/ISSUE_PEAK:.2f} "
+          f"ops/lane/cycle vs ~1.3 sustained issue bound")
     print(f"  HBM bytes/step~{hbm_per_step:.3e} -> {hbm_s:.3e} B/s = "
           f"{100*hbm_s/HBM_PEAK:.2f}% of HBM peak (VMEM-resident chunks)")
     print(f"  psteps/s={n_fluid/dt_step:.3e}")

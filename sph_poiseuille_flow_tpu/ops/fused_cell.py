@@ -1570,24 +1570,26 @@ def pair_drift_bounds(spec: GridSpec, lay: FusedLayout, x2P, y2P):
     occm = lay.refx_p < 0.5 * _BIG_X
     BIG = jnp.asarray(1e30, fdtype)
 
-    def window_range(d):
-        dmax = jnp.where(fl, d, jnp.where(occm, 0.0, -BIG))
-        dmin = jnp.where(fl, d, jnp.where(occm, 0.0, BIG))
-        mx = jnp.max(dmax, axis=1)            # (nyp, nx) over slot rank
-        mn = jnp.min(dmin, axis=1)
-        mx = jnp.maximum(mx[:-1], mx[1:])     # 2-row windows
-        mn = jnp.minimum(mn[:-1], mn[1:])
-        if nx >= 3:
-            mx = jnp.maximum(mx, jnp.roll(mx, -1, axis=1))  # 2-col,
-            mn = jnp.minimum(mn, jnp.roll(mn, -1, axis=1))  # x-wrapped
-        else:
-            mx = jnp.max(mx, axis=1, keepdims=True)
-            mn = jnp.min(mn, axis=1, keepdims=True)
-        # fully-empty windows: mx=-BIG, mn=+BIG -> clamped to 0
-        return jnp.max(jnp.maximum(mx - mn, 0.0))
-
-    return (window_range(x2P - lay.refx_p),
-            window_range(y2P - lay.refy_p))
+    # both axes ride ONE stacked array so the whole guard lowers to a
+    # single chain of fused reductions (the two-pass form measured
+    # ~0.116 ms/call on v5e — one launch-bound tiny kernel per op — vs
+    # one chunk-kernel STEP at ~0.13 ms; this runs once per sub-chunk)
+    d = jnp.stack([x2P - lay.refx_p, y2P - lay.refy_p])   # (2, nyp, K, nx)
+    dmax = jnp.where(fl, d, jnp.where(occm, 0.0, -BIG))
+    dmin = jnp.where(fl, d, jnp.where(occm, 0.0, BIG))
+    mx = jnp.max(dmax, axis=2)            # (2, nyp, nx) over slot rank
+    mn = jnp.min(dmin, axis=2)
+    mx = jnp.maximum(mx[:, :-1], mx[:, 1:])     # 2-row windows
+    mn = jnp.minimum(mn[:, :-1], mn[:, 1:])
+    if nx >= 3:
+        mx = jnp.maximum(mx, jnp.roll(mx, -1, axis=2))  # 2-col,
+        mn = jnp.minimum(mn, jnp.roll(mn, -1, axis=2))  # x-wrapped
+    else:
+        mx = jnp.max(mx, axis=2, keepdims=True)
+        mn = jnp.min(mn, axis=2, keepdims=True)
+    # fully-empty windows: mx=-BIG, mn=+BIG -> clamped to 0
+    b = jnp.max(jnp.maximum(mx - mn, 0.0), axis=(1, 2))
+    return b[0], b[1]
 
 
 def pair_drift_exceeded(spec: GridSpec, lay: FusedLayout, x2P, y2P):
