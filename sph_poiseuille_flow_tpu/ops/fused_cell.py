@@ -1542,8 +1542,13 @@ def pair_drift_bounds(spec: GridSpec, lay: FusedLayout, x2P, y2P):
     Runs once per SUB-CHUNK on the returned position cores, NOT per step
     in-kernel (measured: the in-kernel reduction costs ~30% of a step
     and TPU predication cannot skip it). The stepper soft-stops
-    sub-chunking and rebuilds when a bound crosses 0.8x its budget, and
-    hard-flags a genuine violation. Soundness of the sub-chunk
+    sub-chunking and rebuilds when a 1.5x extrapolation of the last
+    sub-chunk's increment would cross a budget OR when 3/4 of a budget
+    is consumed (the floor catches plateau-then-burst trajectories the
+    increment extrapolation is blind to). A genuine violation rolls the
+    offending sub-chunk back, HALVES the sub-chunk length, and re-runs
+    on fresh candidates (exponential backoff); only a single-step
+    violation straight out of a rebuild hard-flags the run. Soundness of the sub-chunk
     granularity: drift is quasi-monotone (pair-relative velocity is
     shear-scale, ~per-mille of dp per step at validated dts), so an
     above-budget excursion that RETURNS below the budget within one

@@ -220,9 +220,19 @@ class Simulation:
                     f"ending t={target:.6f}; increase cell_capacity")
             if bool(res.skin_guard):
                 raise RuntimeError(
-                    f"neighbor skin displacement guard tripped during "
-                    f"interval ending t={target:.6f}; reduce rebuild_every "
-                    f"or increase neighbor_skin")
+                    f"neighbor drift guard: a SINGLE step straight out "
+                    f"of a rebuild crossed a per-axis drift budget "
+                    f"during interval ending t={target:.6f} — rollback "
+                    f"backoff cannot recover this (divergence, or a "
+                    f"skin far too small for one step's motion); "
+                    f"increase neighbor_skin or check the dt criteria")
+            if res.n_rollbacks is not None and int(res.n_rollbacks) > 0:
+                # burst transients: sub-chunks discarded and re-run on
+                # fresh candidates (correctness-neutral, costs one wasted
+                # sub-chunk each) — worth surfacing as a tuning signal
+                self.log(
+                    f"  [drift-guard] {int(res.n_rollbacks)} sub-chunk "
+                    f"rollback(s) in interval ending t={target:.6f}")
             if not np.isfinite(float(res.v_max)):
                 # divergence guard (the reference's dt-collapse error,
                 # SPH_Poiseuille.m:260-263, adapted: non-finite velocities

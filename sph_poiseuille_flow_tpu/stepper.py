@@ -102,6 +102,11 @@ class IntervalResult(NamedTuple):
     # callbacks, which the tunneled TPU platform does not support.
     step_log: jnp.ndarray = None
     step_log_n: jnp.ndarray = None
+    # fused engine only: sub-chunks discarded and re-run on fresh
+    # candidates after a genuine drift-budget crossing (each costs one
+    # wasted sub-chunk; a nonzero count is normal for burst transients,
+    # the skin_guard flag above marks the unrecoverable case)
+    n_rollbacks: jnp.ndarray = None
 
 
 def _log_row_update(every, logbuf, logn, g_step, t_after, dt, n_pairs,
@@ -698,11 +703,15 @@ class PallasCellEngine(CellEngine):
         # the returned position cores (in-kernel per-step variants all
         # measured ~30% of a step — TPU predication executes both
         # paths). Sub-chunks repeat WITHOUT a rebuild until the drift
-        # bound crosses the soft line (0.8x budget), the rebuild_every
-        # cap, or the interval end — the adaptive cadence: transient
-        # shifting-dominated drift rebuilds every ~1.5 sub-chunks,
-        # developed flow stretches to the cap. A genuine >budget
-        # violation hard-flags the run (skin_guard).
+        # bound crosses the soft line (predictive extrapolation or the
+        # 3/4-consumed floor), the rebuild_every cap, or the interval
+        # end — the adaptive cadence: transient shifting-dominated drift
+        # rebuilds every ~1.5 sub-chunks, developed flow stretches to
+        # the cap. A genuine >budget violation rolls the sub-chunk back,
+        # halves the sub-chunk length, and re-runs on fresh candidates
+        # (see sub_body); only a SINGLE-STEP trip straight out of a
+        # rebuild — divergence, not a burst — hard-flags the run
+        # (skin_guard).
         rb = max(1, int(cfg.rebuild_every))
         # steps per kernel call: amortizes the ~0.13 ms fixed call cost;
         # the PREDICTIVE stop below keeps one sub-chunk of drift from
@@ -710,22 +719,26 @@ class PallasCellEngine(CellEngine):
         # overhead but doubles the drift-check granularity the predictor
         # must cover); SPH_SUB_STEPS overrides for probing.
         _SUB = min(rb, int(os.environ.get("SPH_SUB_STEPS", "16")))
+        # probe/testing knob: 0 disables the predictive soft-stop and the
+        # consumed-fraction floor so every group runs to a genuine budget
+        # crossing — exercises the rollback path deterministically
+        _PREDICT = os.environ.get("SPH_DRIFT_PREDICTOR", "1") != "0"
         sxb = jnp.asarray(spec.skin_x, dtype)
         syb = jnp.asarray(spec.skin_y, dtype)
 
         def body(carry):
             (lay, cores, pidx_e, hidx_e, npairs, t_local, t_comp, n_steps,
-             overflow, guard) = carry
+             overflow, guard, nroll, sub_len) = carry
 
             def sub_cond(sc):
-                st, t_i, tc_i, done_i, soft, grd, bp = sc
+                st, t_i, tc_i, done_i, soft, grd, bp, nrb, slen = sc
                 return jnp.logical_and(
                     jnp.logical_not(soft),
                     jnp.logical_and(done_i < rb, t_i < interval_len))
 
             def sub_body(sc):
-                st, t_i, tc_i, done_i, soft, grd, bp = sc
-                n_sub = jnp.minimum(jnp.asarray(_SUB, jnp.int32),
+                st, t_i, tc_i, done_i, soft, grd, bp, nrb, slen = sc
+                n_sub = jnp.minimum(slen,
                                     jnp.asarray(rb, jnp.int32) - done_i)
                 st2, aux2, steps_done, t2, tc2 = pc.fused_chunk_call(
                     spec, lay, st["xH"], st["yH"], st["vxH"],
@@ -738,19 +751,70 @@ class PallasCellEngine(CellEngine):
                     # drift (1.5x the increment just measured; drift
                     # rates are physics-smooth, they cannot 1.5x within
                     # 16 steps) would cross the per-axis budget. A
-                    # genuine crossing still hard-flags the run below —
-                    # the predictor only schedules rebuilds, it is not
-                    # the validity check.
-                    soft2 = jnp.logical_or(
-                        bx + 1.5 * (bx - bp[0]) > sxb,
-                        by + 1.5 * (by - bp[1]) > syb)
-                    grd2 = jnp.logical_or(bx > sxb, by > syb)
+                    # genuine crossing rolls the sub-chunk back (below) —
+                    # the predictor only schedules rebuilds to keep
+                    # rollbacks rare, it is not the validity check.
+                    #
+                    # CONSUMED-FRACTION FLOOR: the global-max bound can
+                    # PLATEAU just under the budget (one window saturates,
+                    # increments ~0, extrapolation stays quiet) while a
+                    # second window climbs underneath; when it overtakes,
+                    # the first measured increment may already overshoot.
+                    # Measured at dp=0.01 (full 20 s lane-packed run):
+                    # plateau-then-burst tripped the hard guard at t=7.5 s
+                    # (rb=128) / t=3.25 s (rb=32). Stopping whenever 3/4 of
+                    # a budget is consumed bounds the worst case: a trip
+                    # would need one 16-step sub-chunk to consume >1/4 of
+                    # a budget, ~2x the peak shear-rate drift.
+                    trip = jnp.logical_or(bx > sxb, by > syb)
+                    if _PREDICT:
+                        soft2 = jnp.logical_or(
+                            jnp.logical_or(
+                                bx + 1.5 * (bx - bp[0]) > sxb,
+                                by + 1.5 * (by - bp[1]) > syb),
+                            jnp.logical_or(bx > 0.75 * sxb,
+                                           by > 0.75 * syb))
+                    else:
+                        # SPH_DRIFT_PREDICTOR=0 (testing): no scheduling —
+                        # groups run until a genuine crossing, exercising
+                        # the rollback path on every rebuild
+                        soft2 = trip
                 else:
                     bx = by = jnp.asarray(0.0, dtype)
-                    soft2, grd2 = jnp.asarray(True), jnp.asarray(False)
+                    soft2, trip = jnp.asarray(True), jnp.asarray(False)
                 st2 = dict(st2, **{k: aux2[k] for k in aux2})
-                return (st2, t2, tc2, done_i + steps_done, soft2,
-                        grd | grd2, (bx, by))
+                # OPTIMISTIC EXECUTION + ROLLBACK WITH BACKOFF: a genuine
+                # budget crossing means this sub-chunk's trailing steps
+                # may have missed pairs — so the chunk is DISCARDED
+                # (state, t, and step count roll back to the pre-chunk
+                # carry), the sub-chunk length HALVES, the group ends
+                # (soft stop -> rebuild), and the next group re-runs the
+                # same steps shorter on fresh candidates. Progress is
+                # guaranteed: every retry either freshens the budget
+                # (rebuild) or halves the chunk, terminating at a
+                # single-step chunk from a fresh rebuild — if THAT
+                # crosses a budget (>= 0.3dp of pair-relative motion in
+                # one dt-stable step: divergence or a mis-sized skin,
+                # not a burst), the step is kept and the run is
+                # hard-flagged rather than looping forever. Cost: one
+                # wasted sub-chunk per burst; the 20 s dp=0.01 run sees a
+                # handful (measured: bursts cross a FULL budget within 16
+                # steps at developed flow, e.g. t=16 s, while the same
+                # interval at 4-step granularity never trips).
+                unrecoverable = jnp.logical_and(n_sub == 1, done_i == 0)
+                recov = jnp.logical_and(trip,
+                                        jnp.logical_not(unrecoverable))
+                grd2 = jnp.logical_and(trip, unrecoverable)
+                st_out = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(recov, a, b), st, st2)
+                t_out = jnp.where(recov, t_i, t2)
+                tc_out = jnp.where(recov, tc_i, tc2)
+                done_out = jnp.where(recov, done_i, done_i + steps_done)
+                slen_out = jnp.where(recov,
+                                     jnp.maximum(n_sub // 2, 1), slen)
+                return (st_out, t_out, tc_out, done_out,
+                        soft2 | recov, grd | grd2, (bx, by),
+                        nrb + recov.astype(jnp.int32), slen_out)
 
             # seed the sub-chunk carry with the incoming cores plus
             # zero-filled aux slots (shapes must match the loop body)
@@ -767,10 +831,17 @@ class PallasCellEngine(CellEngine):
                 cnt=jnp.zeros((pc.plan(spec)[2], pc.plan(spec)[1]),
                               dtype))
             zb = jnp.asarray(0.0, dtype)
-            (st, t2, tc2, steps_done, _, grd, _) = jax.lax.while_loop(
-                sub_cond, sub_body,
-                (st0, t_local, t_comp, jnp.asarray(0, jnp.int32),
-                 jnp.asarray(False), jnp.asarray(False), (zb, zb)))
+            (st, t2, tc2, steps_done, _, grd, _, nrb_g, slen_g) = \
+                jax.lax.while_loop(
+                    sub_cond, sub_body,
+                    (st0, t_local, t_comp, jnp.asarray(0, jnp.int32),
+                     jnp.asarray(False), jnp.asarray(False), (zb, zb),
+                     jnp.asarray(0, jnp.int32), sub_len))
+            # backoff recovery: a trip-free group earns the next group a
+            # doubled sub-chunk (capped at the configured maximum), so a
+            # burst's halving doesn't permanently shrink the chunk size
+            sub_len2 = jnp.where(nrb_g == 0,
+                                 jnp.minimum(2 * slen_g, _SUB), slen_g)
             aux = st
 
             def do_rebuild():
@@ -818,7 +889,7 @@ class PallasCellEngine(CellEngine):
             npairs = jnp.round(jnp.sum(aux["cnt"])).astype(jnp.int32)
             return (lay2, new_cores, lay.pidx, lay.hidx, npairs, t2,
                     tc2, n_steps + steps_done, overflow | lay2.overflow,
-                    guard | grd)
+                    guard | grd, nroll + nrb_g, sub_len2)
 
         def cond(carry):
             return carry[5] < interval_len
@@ -831,9 +902,10 @@ class PallasCellEngine(CellEngine):
         carry = (lay, cores0, lay.pidx, lay.hidx,
                  jnp.asarray(geom, jnp.int32), zero, zero,
                  jnp.asarray(0, jnp.int32), lay.overflow,
-                 jnp.asarray(False))
+                 jnp.asarray(False), jnp.asarray(0, jnp.int32),
+                 jnp.asarray(_SUB, jnp.int32))
         (lay, cores, pidx_e, hidx_e, n_pairs, _, _, n_steps, overflow,
-         guard) = jax.lax.while_loop(cond, body, carry)
+         guard, n_rollbacks, _) = jax.lax.while_loop(cond, body, carry)
 
         def tk_p(c):
             return c.reshape(-1)[pidx_e]
@@ -871,7 +943,7 @@ class PallasCellEngine(CellEngine):
                               tau_bottom=tau_b, tau_top=tau_t,
                               n_steps=n_steps, overflow=overflow,
                               skin_guard=guard, v_max=v_max,
-                              n_pairs=n_pairs)
+                              n_pairs=n_pairs, n_rollbacks=n_rollbacks)
 
 
 def resolve_engine_name(cfg: SPHConfig, scene: Scene = None) -> str:

@@ -82,6 +82,60 @@ def test_exceeded_flag_thresholds(setup):
     assert flag(1.1 * spec.skin_y)
 
 
+def test_trip_rolls_back_and_recovers(monkeypatch):
+    """A genuine drift-budget crossing must DISCARD the offending
+    sub-chunk and re-run it on fresh candidates instead of failing the
+    run (stepper.PallasCellEngine sub_body rollback). With the
+    predictive scheduler disabled (SPH_DRIFT_PREDICTOR=0) every
+    sub-chunk group runs until a genuine crossing, so an interval
+    needing several rebuilds exercises the rollback repeatedly. The
+    recovered run must report rollbacks, must NOT hard-flag, and must
+    land where a predictor-scheduled run of the same interval lands
+    (candidate membership covers all true pairs in both, so only f32
+    reduction-order noise from different rebuild points separates
+    them)."""
+    import jax.numpy as jnp
+
+    # tiny skin makes cand_cutoff ~ cutoff, so the lane-pack pick lands
+    # nx=7 and the x drift budget is a bare cell_x - cutoff = 0.26dp —
+    # the seeded velocity jitter crosses it within a few 4-step
+    # sub-chunks before viscosity damps it (measured: 3 rollbacks)
+    cfg = default_cfg(DL=1.0, DH=0.55, dp=0.05, neighbor_skin=0.001,
+                      cell_capacity=18, rebuild_every=64)
+    scene = build_scene(cfg)
+    state0 = initial_state(cfg, scene)
+    rng = np.random.default_rng(3)
+    nf = scene.n_fluid
+    vx = np.zeros(scene.n_total, np.float32)
+    vy = np.zeros(scene.n_total, np.float32)
+    vx[:nf] = rng.normal(0, 0.8, nf)
+    vy[:nf] = rng.normal(0, 0.4, nf)
+    state0 = state0._replace(vx=jnp.asarray(vx), vy=jnp.asarray(vy))
+
+    monkeypatch.setenv("SPH_SUB_STEPS", "4")
+
+    def run(predictor: str):
+        monkeypatch.setenv("SPH_DRIFT_PREDICTOR", predictor)
+        eng = PallasCellEngine(cfg, scene)
+        s, lay, geom, ov = eng.init(state0)
+        assert not bool(ov)
+        return eng.run_interval(s, lay, geom, np.float32(0.08))
+
+    r_trip = run("0")
+    r_sched = run("1")
+    assert int(r_trip.n_rollbacks) > 0, \
+        "predictor off + interval spanning several budgets must trip"
+    assert not bool(r_trip.skin_guard), \
+        "recoverable trips must not hard-flag the run"
+    assert int(r_sched.n_rollbacks) == 0
+    assert int(r_trip.n_steps) == int(r_sched.n_steps)
+    for name in ("x", "y", "vx", "vy", "rho"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(r_trip.state, name)),
+            np.asarray(getattr(r_sched.state, name)),
+            rtol=2e-3, atol=5e-4, err_msg=name)
+
+
 def test_empty_slots_do_not_anchor():
     """Empty slots ride at _BIG_X in the ref core and must be EXCLUDED
     from the window range, not anchored at 0: uniform advection of an
