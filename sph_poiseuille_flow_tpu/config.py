@@ -231,12 +231,38 @@ def derive_config(
     )
 
 
+# The (section, key) pairs load_config actually consumes. Overrides outside
+# this set would be silently ignored (e.g. --set physical.end_time=...,
+# which lives in [simulation]), so they are rejected up front. The INI file
+# itself is NOT validated against this set — extra file keys are ignored,
+# matching the reference's forgiving parser (SPH_Poiseuille.m read_ini).
+_CONSUMED_INI_KEYS = {
+    "physical": frozenset({"DL", "DH", "dp", "rho0", "mu", "U_bulk", "c_f"}),
+    "simulation": frozenset({"end_time", "output_interval", "sort_interval",
+                             "restart_from_file"}),
+}
+
+
 def load_config(path: str, ini_overrides=None, **engine_kwargs) -> SPHConfig:
     """Load + derive a config from an INI file path. ``ini_overrides`` is a
     nested {section: {key: value}} dict applied over the parsed file (the
-    CLI's --set mechanism)."""
+    CLI's --set mechanism). Unknown override section/key pairs raise
+    ConfigError instead of being silently dropped."""
     ini = parse_ini(path)
     for section, kv in (ini_overrides or {}).items():
+        known = _CONSUMED_INI_KEYS.get(section)
+        if known is None:
+            raise ConfigError(
+                f"--set: unknown section {section!r}; valid sections: "
+                + ", ".join(sorted(_CONSUMED_INI_KEYS)))
+        for name in kv:
+            if name not in known:
+                hint = next((f" (did you mean {s}.{name}?)"
+                             for s, ks in _CONSUMED_INI_KEYS.items()
+                             if s != section and name in ks), "")
+                raise ConfigError(
+                    f"--set: unknown key {section}.{name}{hint}; valid keys "
+                    f"in [{section}]: " + ", ".join(sorted(known)))
         ini.setdefault(section, {}).update(kv)
     return derive_config(
         DL=get_ini_numeric(ini, "physical", "DL"),

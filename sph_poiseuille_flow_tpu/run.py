@@ -16,7 +16,7 @@ import argparse
 import os
 import sys
 
-from .config import env_override, load_config
+from .config import ConfigError, env_override, load_config
 from .simulation import Simulation, SimulationPaths
 
 
@@ -127,12 +127,15 @@ def main(argv=None) -> int:
             parser.error(f"--set expects SECTION.KEY=VALUE, got {item!r}")
         ini_overrides.setdefault(section, {})[name] = float(value)
     wall_visc_factor = 4.35 if args.calibrated else args.wall_visc_factor
-    cfg = load_config(
-        config_path, engine=args.engine, dtype=args.dtype,
-        cell_capacity=args.cell_capacity, lane_pack_nx=args.lane_pack_nx,
-        neighbor_skin=args.neighbor_skin, rebuild_every=args.rebuild_every,
-        wall_visc_factor=wall_visc_factor,
-        step_log_every=args.step_log_every, ini_overrides=ini_overrides)
+    try:
+        cfg = load_config(
+            config_path, engine=args.engine, dtype=args.dtype,
+            cell_capacity=args.cell_capacity, lane_pack_nx=args.lane_pack_nx,
+            neighbor_skin=args.neighbor_skin, rebuild_every=args.rebuild_every,
+            wall_visc_factor=wall_visc_factor,
+            step_log_every=args.step_log_every, ini_overrides=ini_overrides)
+    except ConfigError as e:
+        parser.error(str(e))
     if args.sweep_mus:
         from .parallel import make_workloads, run_sweep
         mus = [float(v) for v in args.sweep_mus.split(",") if v.strip()]

@@ -137,3 +137,40 @@ class TestDerived:
     def test_n_bins(self):
         assert default_cfg().n_bins == 20
         assert default_cfg(dp=0.025).n_bins == 40
+
+
+class TestLoadConfigOverrides:
+    """--set override validation: unknown (section, key) pairs must error
+    instead of being silently dropped (a wrong-section typo like
+    ``physical.end_time`` used to leave end_time at the file value)."""
+
+    def _write_ini(self, tmp_path):
+        p = tmp_path / "config.ini"
+        p.write_text(DEFAULT_INI)
+        return str(p)
+
+    def test_valid_override_applies(self, tmp_path):
+        from sph_poiseuille_flow_tpu.config import load_config
+        cfg = load_config(self._write_ini(tmp_path),
+                          ini_overrides={"simulation": {"end_time": 0.1},
+                                         "physical": {"dp": 0.025}})
+        assert cfg.end_time == pytest.approx(0.1)
+        assert cfg.dp == pytest.approx(0.025)
+
+    def test_wrong_section_errors_with_hint(self, tmp_path):
+        from sph_poiseuille_flow_tpu.config import load_config
+        with pytest.raises(ConfigError, match=r"simulation\.end_time"):
+            load_config(self._write_ini(tmp_path),
+                        ini_overrides={"physical": {"end_time": 0.1}})
+
+    def test_unknown_key_errors(self, tmp_path):
+        from sph_poiseuille_flow_tpu.config import load_config
+        with pytest.raises(ConfigError, match="unknown key"):
+            load_config(self._write_ini(tmp_path),
+                        ini_overrides={"simulation": {"endtime": 0.1}})
+
+    def test_unknown_section_errors(self, tmp_path):
+        from sph_poiseuille_flow_tpu.config import load_config
+        with pytest.raises(ConfigError, match="unknown section"):
+            load_config(self._write_ini(tmp_path),
+                        ini_overrides={"engine": {"rebuild_every": 8}})
