@@ -234,8 +234,10 @@ def derive_config(
 # The (section, key) pairs load_config actually consumes. Overrides outside
 # this set would be silently ignored (e.g. --set physical.end_time=...,
 # which lives in [simulation]), so they are rejected up front. The INI file
-# itself is NOT validated against this set — extra file keys are ignored,
-# matching the reference's forgiving parser (SPH_Poiseuille.m read_ini).
+# itself is NOT validated against this set — extra file keys are parsed
+# and ignored, matching the reference parser, which accepts any
+# legally-named key and errors only on MISSING consumed keys
+# (SPH_Poiseuille.m:447-512 parse_ini/get_ini_numeric).
 _CONSUMED_INI_KEYS = {
     "physical": frozenset({"DL", "DH", "dp", "rho0", "mu", "U_bulk", "c_f"}),
     "simulation": frozenset({"end_time", "output_interval", "sort_interval",
