@@ -5,7 +5,10 @@ rebuild_every=128) and a developed-flow state (t>=2.5 s):
   A. pure chunk kernel: fori_loop of 16-step fused_chunk_call
   B. kernel + pair_drift_bounds per sub-chunk (the guard)
   C. full engine.run_interval (adds rebuilds, rollback glue, interval loop)
-All loops thread data deps on-device (tunnel timing rules).
+All loops thread data deps on-device (tunnel timing rules). Each timed
+region repeats REPEATS times and reports the MIN — this VM shows steal
+time, so a single aggregate sample per variant is unreliable (the same
+best-of-N methodology as bench.py).
 """
 import sys
 import time
@@ -52,6 +55,7 @@ dtype = xH.dtype
 
 N_CHUNKS = 32
 SUB = 16
+REPEATS = 5
 
 
 def run_kernel_loop(with_guard: bool):
@@ -74,11 +78,15 @@ def run_kernel_loop(with_guard: bool):
     carry = (xH, yH, vxH, vyH, drPc, z, z, z, z)
     out = f(carry)
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    out = f(carry)
-    jax.block_until_ready(out)
-    ms = (time.perf_counter() - t0) / (N_CHUNKS * SUB) * 1e3
-    return ms
+    samples = []
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        out = f(carry)
+        jax.block_until_ready(out)
+        samples.append((time.perf_counter() - t0)
+                       / (N_CHUNKS * SUB) * 1e3)
+    print(f"   samples: {['%.4f' % s for s in samples]}", flush=True)
+    return min(samples)
 
 
 a = run_kernel_loop(False)
@@ -87,13 +95,16 @@ b = run_kernel_loop(True)
 print(f"B kernel+guard       {b:7.4f} ms/step  (guard {b - a:+.4f})",
       flush=True)
 
-# C: full engine interval at the same state
+# C: full engine interval at the same state (min of REPEATS, like A/B)
 res = eng.run_interval(state, lay, geom, np.float32(0.5))
 jax.block_until_ready(res.state.x)
-t0 = time.perf_counter()
-res = eng.run_interval(state, lay, geom, np.float32(0.5))
-jax.block_until_ready(res.state.x)
-el = time.perf_counter() - t0
-c = el / int(res.n_steps) * 1e3
+samples = []
+for _ in range(REPEATS):
+    t0 = time.perf_counter()
+    res = eng.run_interval(state, lay, geom, np.float32(0.5))
+    jax.block_until_ready(res.state.x)
+    samples.append((time.perf_counter() - t0) / int(res.n_steps) * 1e3)
+print(f"   samples: {['%.4f' % s for s in samples]}", flush=True)
+c = min(samples)
 print(f"C full run_interval  {c:7.4f} ms/step  over {int(res.n_steps)} "
       f"steps (glue+rebuild {c - b:+.4f})", flush=True)

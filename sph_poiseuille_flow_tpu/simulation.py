@@ -188,6 +188,11 @@ class Simulation:
 
         self._sample_mid_profile(state)
 
+        # host-side scalars enter the device at the CONFIG dtype — a
+        # np.float32 cast here would silently truncate interval/t on the
+        # --dtype float64 path, which exists for exactness
+        # (tests/test_cli.py::test_f64_interval_scalars_not_truncated)
+        fdtype = np.dtype(cfg.dtype)
         eps = 1e-9
         while self.t < cfg.end_time - eps:
             target = min(self.t + cfg.output_interval, cfg.end_time)
@@ -195,8 +200,8 @@ class Simulation:
             t0 = time.perf_counter()
             try:
                 res = self.engine.run_interval(
-                    state, cands, geom, np.float32(interval),
-                    t_base=np.float32(self.t), step_base=np.int32(self.step))
+                    state, cands, geom, fdtype.type(interval),
+                    t_base=fdtype.type(self.t), step_base=np.int32(self.step))
                 n_steps = int(res.n_steps)
             except jax.errors.JaxRuntimeError as e:
                 # runtime (device/dispatch) failures only — anything else

@@ -43,6 +43,54 @@ def test_cli_end_to_end(tmp_path):
     assert "L2 relative error" in r2.stdout
 
 
+def test_f64_interval_scalars_not_truncated(tmp_path):
+    """--dtype float64: the driver's host-side interval/t scalars must
+    enter the device at float64 (the reference is f64 throughout — MATLAB
+    doubles). A silent np.float32 cast of the interval puts a ~1.5e-9
+    absolute error on a 0.1 s interval, which the per-step dt rows expose:
+    the loop's final remainder step lands the clock EXACTLY on the output
+    point (stepper._t_add Kahan clock), so the dts must sum back to the
+    f64 interval to f64 precision."""
+    import math
+
+    import numpy as np
+
+    from sph_poiseuille_flow_tpu.simulation import (Simulation,
+                                                    SimulationPaths)
+    from test_config import default_cfg
+
+    cfg = default_cfg(DL=1.0, DH=0.5, dp=0.05, end_time=0.1,
+                      output_interval=0.1, dtype="float64",
+                      step_log_every=1)
+    paths = SimulationPaths(
+        restart=str(tmp_path / "restart.npz"),
+        result_png=str(tmp_path / "r.png"),
+        profile_evolution_png=str(tmp_path / "p.png"),
+        postprocess_npz=str(tmp_path / "post.npz"))
+    sim = Simulation(cfg, paths, log=lambda s: None)
+    captured = {}
+    orig = sim.engine.run_interval
+
+    def spy(state, cands, geom, interval, **kw):
+        captured["interval"] = np.asarray(interval)
+        captured["t_base"] = np.asarray(kw.get("t_base"))
+        res = orig(state, cands, geom, interval, **kw)
+        captured["res"] = res
+        return res
+
+    sim.engine.run_interval = spy
+    sim.run()
+    assert captured["interval"].dtype == np.float64
+    assert captured["t_base"].dtype == np.float64
+    res = captured["res"]
+    n = int(res.step_log_n)
+    assert n == int(res.n_steps)
+    dts = np.asarray(res.step_log[:n, 2], np.float64)
+    assert res.step_log.dtype == np.float64
+    # f32-truncated interval would miss 0.1 by ~1.49e-9 here
+    assert abs(math.fsum(dts) - 0.1) < 1e-12
+
+
 def test_resolve_engine_auto():
     """engine="auto" maps to cellgrid off-TPU and for float64, and passes
     explicit engine names through unchanged."""

@@ -38,7 +38,10 @@ def e2e_result(tmp_path_factory):
 def test_l2_below_threshold(e2e_result):
     cfg, paths, sim, result = e2e_result
     assert result["passed"]
-    assert result["L2_error"] < 0.03, \
+    # regression guard at measured + ~35% margin (measured 2026-08-19 on
+    # the virtual-CPU platform: L2 = 0.0149) — a 1.5x accuracy regression
+    # must fail CI, not hide under a loose ceiling
+    assert result["L2_error"] < 0.02, \
         f"L2 {result['L2_error']:.4f} too high for developed flow"
 
 
@@ -132,14 +135,57 @@ def test_edge_seam_metrics(e2e_result):
     edge ux gap 0.0232, edge profile L2 0.00514, README.md:150-151) — these
     guard the ghost-free minimum-image seam design. At this coarse CI
     resolution (dp=0.05, ~1 particle per edge bin) the max-gap statistic
-    carries real sampling scatter (measured ~0.07-0.10 for a HEALTHY seam),
-    so the thresholds are breakage canaries: a genuine seam bug (e.g. a
+    carries real sampling scatter, so the thresholds sit at the measured
+    healthy-seam values + ~30% margin (measured 2026-08-19: ux gap
+    0.098*U_max, edge L2 0.046): a genuine seam bug (e.g. a
     double-counted halo column) shifts them by O(0.2+). The tight
     reference-scale values are tracked by the full dp<=0.04 validation
     artifacts (docs/VALIDATION.md)."""
     cfg, paths, sim, result = e2e_result
-    assert result["edge_ux_gap"] < 0.15 * cfg.U_max
+    assert result["edge_ux_gap"] < 0.13 * cfg.U_max
     assert result["edge_profile_L2"] < 0.06
+
+
+def test_bench_shape_canary():
+    """The shipping bench configuration (bench.py: dp=0.025, lane-packed
+    nx=40, K=14, skin=0.3dp) must keep resolving to the validated grid
+    shape — nx=40 integer-ratio cells (cell_x = 3dp exactly), K=14, both
+    per-axis drift budgets >= the configured skin — and a short dp=0.025
+    run on that exact grid must stay overflow-clean. Guards the cost
+    model + capacity pair the TPU bench depends on (docs/SCALING.md)."""
+    import numpy as np
+
+    from sph_poiseuille_flow_tpu import (build_scene, derive_config,
+                                         initial_state)
+    from sph_poiseuille_flow_tpu.ops import neighbors as nbr
+    from sph_poiseuille_flow_tpu.stepper import CellEngine
+
+    dp = 0.025
+    nx3 = round(3.0 / (3.0 * dp))
+    cfg = derive_config(
+        DL=3.0, DH=1.0, dp=dp, rho0=1.0, mu=0.1, U_bulk=0.666667,
+        c_f=15.0, end_time=20.0, output_interval=0.5, sort_interval=100,
+        restart_from_file=False, engine="pallas",
+        neighbor_skin=0.3 * dp, rebuild_every=128, cell_capacity=14,
+        lane_pack_nx=nx3, neighbor_capacity=56)
+    scene = build_scene(cfg)
+    spec = nbr.make_grid_spec(cfg, scene, lane_pack=True)
+    assert spec.nx == 40 and spec.K == 14
+    assert abs(spec.cell_x - 3.0 * dp) < 1e-12  # integer-ratio cells
+    assert spec.skin_x >= cfg.neighbor_skin - 1e-12
+    assert spec.skin_y >= cfg.neighbor_skin - 1e-12
+
+    # overflow-clean short run ON the lane-packed grid: the XLA cellgrid
+    # engine accepts any consistent spec (stepper.PallasCellEngine
+    # docstring) and runs fast on CPU, unlike interpret-mode Pallas
+    import dataclasses
+    eng = CellEngine(dataclasses.replace(cfg, rebuild_every=1), scene)
+    eng.spec = spec
+    state, lay, geom, overflow = eng.init(initial_state(cfg, scene))
+    assert not bool(overflow)
+    res = eng.run_interval(state, lay, geom, np.float32(0.01))
+    assert int(res.n_steps) >= 10
+    assert not bool(res.overflow)
 
 
 def test_step_log_ring_buffer(tmp_path):
