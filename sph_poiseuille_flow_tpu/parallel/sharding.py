@@ -21,6 +21,7 @@ engine jits the SAME ``Engine._run_interval`` with in/out shardings.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Optional
 
 import jax
@@ -33,10 +34,41 @@ shard_map = jax.shard_map
 from ..config import SPHConfig
 from ..models.poiseuille import Scene
 from ..stepper import (CellEngine, Engine, IntervalResult,
-                       PallasCellEngine, State)
+                       PallasCellEngine, State, _t_add)
 
 
 AXIS = "shard"
+
+
+def _exchange_bands(slab, fill, G, n_dev, rows_loc, gather_mode):
+    """(lo, hi) G-row ghost bands of this device's y-slab: the last/first
+    G rows of the y-neighbor slabs, over ICI via ``lax.ppermute``
+    (domain-edge devices read the core ``fill`` — walls bound y, nothing
+    beyond them). Slabs shallower than G (tiny domains / many devices)
+    use an ``all_gather`` of the slab axis instead — same values, more
+    bytes. The distributed twin of the reference's ghost-entry halo
+    (sph_neighbor_search_mex.c:282-295), pointed across the mesh."""
+    if n_dev == 1:
+        z = jnp.full((G,) + slab.shape[1:], fill, slab.dtype)
+        return z, z
+    idx = jax.lax.axis_index(AXIS)
+    if gather_mode:
+        full = jax.lax.all_gather(slab, AXIS, axis=0, tiled=True)
+        cap = jnp.full((G,) + full.shape[1:], fill, full.dtype)
+        padded = jnp.concatenate([cap, full, cap], axis=0)
+        i0 = idx * rows_loc
+        lo = jax.lax.dynamic_slice_in_dim(padded, i0, G, axis=0)
+        hi = jax.lax.dynamic_slice_in_dim(
+            padded, i0 + rows_loc + G, G, axis=0)
+        return lo, hi
+    lo = jax.lax.ppermute(
+        slab[-G:], AXIS, [(i, i + 1) for i in range(n_dev - 1)])
+    hi = jax.lax.ppermute(
+        slab[:G], AXIS, [(i, i - 1) for i in range(1, n_dev)])
+    cap = jnp.full_like(lo, fill)
+    lo = jnp.where(idx == 0, cap, lo)
+    hi = jnp.where(idx == n_dev - 1, cap, hi)
+    return lo, hi
 
 
 def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
@@ -238,14 +270,476 @@ class ShardedPallasEngine(PallasCellEngine):
             jnp.asarray(0.0 if t_base is None else t_base, dtype),
             jnp.asarray(0 if step_base is None else step_base, jnp.int32))
 
-    # the core-carry chunk loop has no sharded variant (its state never
-    # leaves one kernel); the sharded engine uses the generic per-step
-    # interval loop, whose _step calls the shard_mapped kernel below
     def _run_interval(self, state: State, lay, geom, interval_len,
                       g=None, mu=None, t_base=None, step_base=None):
-        return CellEngine._run_interval(
-            self, state, lay, geom, interval_len, g=g, mu=mu,
-            t_base=t_base, step_base=step_base)
+        if (self.cfg.step_log_every > 0
+                or os.environ.get("SPH_SHARDED_CHUNK", "1") == "0"):
+            # in-loop logging needs per-step particle-order observables:
+            # fall back to the generic per-step loop over the
+            # shard_mapped single-step kernel (correctness-grade; also the
+            # SPH_SHARDED_CHUNK=0 A/B knob)
+            return CellEngine._run_interval(
+                self, state, lay, geom, interval_len, g=g, mu=mu,
+                t_base=t_base, step_base=step_base)
+        return self._chunked_interval(state, lay, geom, interval_len,
+                                      g=g, mu=mu)
+
+    def _chunked_interval(self, state: State, lay, geom, interval_len,
+                          g=None, mu=None):
+        """Perf-grade sharded interval loop: the single-chip core-carry
+        chunk design (stepper.PallasCellEngine._run_interval), run
+        slab-locally inside ONE ``shard_map`` region.
+
+        Per device and per step: exchange a ``ghost``-row band of the
+        five dynamic state slabs with the y-neighbors (``ppermute`` over
+        ICI), run the UNMODIFIED fused step kernel on the extended slab,
+        keep the interior. Between sub-chunks, the pair-drift guard and
+        the predictive rebuild scheduler run on slab-local bounds merged
+        across the mesh (one small ``all_gather`` of row-reduced ranges),
+        so every device takes the SAME rebuild/rollback decision — the
+        trajectory is the single-chip chunk trajectory, bit for bit.
+        Rebuilds are LOCAL: each device re-bins its own cell rows from a
+        1-row-extended slab (a particle's row changes by at most one
+        between rebuilds — drift is bounded by the skin), ranking
+        particles within a cell by particle id to reproduce the global
+        ``assign_slots`` placement exactly. Per-particle order, the
+        global layout, and the wall-shear monitor materialize ONCE per
+        interval, at the end.
+
+        vs the per-step fallback this removes the two scale blockers the
+        round-3 review named (parallel/sharding.py:241-300 then):
+        replicated per-step packed scatters of all state cores (~2x the
+        kernel, measured) and the clamped rebuild cadence — the
+        drift-adaptive cadence and the rollback-with-backoff now run
+        under sharding. Reference mechanism generalized: the ghost-entry
+        halo (sph_neighbor_search_mex.c:282-295), per step and per
+        sub-chunk across the mesh instead of per step across the seam."""
+        cfg, spec, pc = self.cfg, self.spec, self._pc
+        g = cfg.gravity_g if g is None else g
+        mu = cfg.mu if mu is None else mu
+        dtype = jnp.dtype(cfg.dtype)
+        scalars = (cfg.rho0, cfg.p0, cfg.c_f, cfg.inv_sigma0,
+                   cfg.transport_coeff, g, mu, cfg.wall_visc_factor)
+        R, L, n_groups, nyp = pc.plan(spec)
+        nx, K, h = spec.nx, spec.K, spec.h
+        n_total, n_fluid = spec.n_total, spec.n_fluid
+        Gh, n_dev = self.ghost, self.n_dev
+        rows_loc, nyp_pad = self.rows_loc, self.nyp_pad
+        gather_mode = self._gather_mode
+        BIG = pc._BIG_X
+        BIGB = jnp.asarray(1e30, dtype)   # drift-bound sentinel
+        rows_ext = rows_loc + 2 * Gh
+        ls = dataclasses.replace(spec, ny=rows_ext)
+        Rl, Ll, ngl, nypl = pc.plan(ls)
+        n_loc_cells = rows_loc * nx
+        rb = max(1, int(cfg.rebuild_every))
+        _SUB = min(rb, int(os.environ.get("SPH_SUB_STEPS", "16")))
+        _PREDICT = os.environ.get("SPH_DRIFT_PREDICTOR", "1") != "0"
+        sxb = jnp.asarray(spec.skin_x, dtype)
+        syb = jnp.asarray(spec.skin_y, dtype)
+        from ..ops.neighbors import _cell_coords
+
+        def pad_rows(p, fill):
+            if nyp_pad == p.shape[0]:
+                return p
+            return jnp.concatenate(
+                [p, jnp.full((nyp_pad - p.shape[0],) + p.shape[1:], fill,
+                             p.dtype)], axis=0)
+
+        def strip(c):
+            return c[1:nyp + 1, :, 1:nx + 1]
+
+        # one global scatter into padded plain cores at interval entry
+        # (particle order exists only here and at the interval end)
+        pid = jnp.arange(n_total, dtype=jnp.int32)
+        interval_len = jnp.asarray(interval_len, dtype)
+        slabs_in = (
+            pad_rows(pc.make_plain(spec, lay.pidx, state.x, fill=BIG), BIG),
+            pad_rows(pc.make_plain(spec, lay.pidx, state.y), 0.0),
+            pad_rows(pc.make_plain(spec, lay.pidx, state.vx), 0.0),
+            pad_rows(pc.make_plain(spec, lay.pidx, state.vy), 0.0),
+            pad_rows(pc.make_plain(spec, lay.pidx, state.drho_dt), 0.0),
+            pad_rows(pc.make_plain(spec, lay.pidx, pid, fill=n_total),
+                     n_total),
+            pad_rows(strip(lay.isf_c), 0.0),
+            pad_rows(strip(lay.mass_c), 0.0),
+            pad_rows(strip(lay.wvx_c), 0.0),
+            pad_rows(strip(lay.wvy_c), 0.0),
+            pad_rows(strip(lay.wbot_c), 0.0),
+            pad_rows(strip(lay.wtop_c), 0.0),
+            pad_rows(lay.refx_p, BIG),
+            pad_rows(lay.refy_p, 0.0),
+            # rollback seeds for the aux state (vol/B/rho/p/forces):
+            # mirror the single-chip scatter_all so a first-group rollback
+            # restores the incoming state exactly
+            pad_rows(pc.make_plain(spec, lay.pidx, state.vol), 0.0),
+            pad_rows(pc.make_plain(spec, lay.pidx, state.b11), 0.0),
+            pad_rows(pc.make_plain(spec, lay.pidx, state.b12), 0.0),
+            pad_rows(pc.make_plain(spec, lay.pidx, state.b21), 0.0),
+            pad_rows(pc.make_plain(spec, lay.pidx, state.b22), 0.0),
+            pad_rows(pc.make_plain(spec, lay.pidx, state.rho), 0.0),
+            pad_rows(pc.make_plain(spec, lay.pidx, state.p), 0.0),
+            pad_rows(pc.make_plain(spec, lay.pidx, state.fx), 0.0),
+            pad_rows(pc.make_plain(spec, lay.pidx, state.fy), 0.0),
+            pad_rows(pc.make_plain(spec, lay.pidx, state.fpx), 0.0),
+            pad_rows(pc.make_plain(spec, lay.pidx, state.fpy), 0.0),
+        )
+
+        AUX_KEYS = ("vol", "b11", "b12", "b21", "b22", "rho", "p",
+                    "fx", "fy", "fpx", "fpy")
+
+        def body(il, xS, yS, vxS, vyS, drS, pidS, isfS, massS, wvxS,
+                 wvyS, wbotS, wtopS, refxS, refyS, *aux_in):
+            didx = jax.lax.axis_index(AXIS)
+            r0 = didx * rows_loc
+
+            def ext(slab, fill):
+                lo, hi = _exchange_bands(slab, fill, Gh, n_dev, rows_loc,
+                                         gather_mode)
+                e = jnp.concatenate([lo, slab, hi], axis=0)
+                if nypl > rows_ext:
+                    e = jnp.concatenate(
+                        [e, jnp.full((nypl - rows_ext, K, nx), fill,
+                                     e.dtype)], axis=0)
+                return e
+
+            def make_stat_h(isf, mass, wvx, wvy):
+                """Extended halo'd static cores — refreshed per rebuild
+                group only (they change at rebuilds, not steps)."""
+                return (pc.halo_ify(ls, ext(isf, 0.0)),
+                        pc.halo_ify(ls, ext(mass, 0.0)),
+                        pc.halo_ify(ls, ext(wvx, 0.0)),
+                        pc.halo_ify(ls, ext(wvy, 0.0)))
+
+            mu32 = jnp.asarray(mu, dtype)
+            g32 = jnp.asarray(g, dtype)
+            # dt criteria EXACTLY as the single-chip chunk kernel
+            # (ops/fused_cell._chunk_kernel) so trajectories are bit-equal
+            nu32 = mu32 / cfg.rho0
+            dt_visc = 0.125 * h * h / jnp.maximum(nu32, 1e-12)
+            dt_body = 0.25 * jnp.sqrt(
+                h / jnp.maximum(jnp.abs(g32), 1e-12))
+
+            def ih(c):
+                return c[1 + Gh:1 + Gh + rows_loc, :, 1:nx + 1]
+
+            def ip(c):
+                return c[Gh:Gh + rows_loc]
+
+            def one_step(st, stat_h, t, tc):
+                # global v_max: slab max + pmax (exact: max of maxes;
+                # walls/empty slots carry velocity 0 by kernel invariant)
+                v_max = jnp.sqrt(jax.lax.pmax(
+                    jnp.max(st["vx"] ** 2 + st["vy"] ** 2), AXIS))
+                remain = il - t
+                dt_ac = 0.25 * h / jnp.maximum(cfg.c_f + v_max, 1e-12)
+                dt = jnp.maximum(
+                    jnp.minimum(jnp.minimum(dt_ac, dt_visc),
+                                jnp.minimum(dt_body, remain)),
+                    1e-12)
+                x_e = ext(st["x"], BIG)
+                y_e = ext(st["y"], 0.0)
+                vx_e = ext(st["vx"], 0.0)
+                vy_e = ext(st["vy"], 0.0)
+                dr_e = ext(st["dr"], 0.0)
+                # occupancy bounds from the frozen cell membership (counts
+                # are rebuild-constant: empty slots ride x = BIG)
+                cnt_cell = jnp.sum((x_e < 0.5 * BIG).astype(jnp.int32),
+                                   axis=1)
+                occl = jnp.minimum(
+                    jnp.max(cnt_cell.reshape(ngl, Rl * nx), axis=1,
+                            keepdims=True), K).astype(jnp.int32)
+                cores = [pc.halo_ify(ls, x_e, fill=BIG, xshift=spec.DL),
+                         pc.halo_ify(ls, y_e), pc.halo_ify(ls, vx_e),
+                         pc.halo_ify(ls, vy_e), dr_e] + list(stat_h)
+                outs = pc._fused_call(ls, cores, occl, dt, scalars)
+                (volH, b11H, b12H, b21H, b22H, vx2H, vy2H,
+                 rhoP, pP, drhoP, fxP, fyP, fpxP, fpyP, x2P, y2P,
+                 cnt) = outs
+                t2, tc2 = _t_add(t, tc, dt)
+                st2 = dict(
+                    x=ip(x2P), y=ip(y2P), vx=ih(vx2H), vy=ih(vy2H),
+                    dr=ip(drhoP),
+                    vol=ih(volH), b11=ih(b11H), b12=ih(b12H),
+                    b21=ih(b21H), b22=ih(b22H), rho=ip(rhoP), p=ip(pP),
+                    fx=ip(fxP), fy=ip(fyP), fpx=ip(fpxP), fpy=ip(fpyP),
+                    cnt=cnt.reshape(ngl * Rl, nx)[Gh:Gh + rows_loc])
+                return st2, t2, tc2
+
+            def drift_bounds(st, refx, refy, isf):
+                """Slab-local twin of fused_cell.pair_drift_bounds: the
+                per-row displacement ranges reduce locally, the tiny
+                (2, rows, nx) row table gathers across the mesh, and the
+                2-row/2-col windowing runs identically on every device —
+                bounds (and therefore every scheduler/rollback decision)
+                are bit-equal to the single-chip computation."""
+                fl = isf > 0
+                occm = refx < 0.5 * BIG
+                d = jnp.stack([st["x"] - refx, st["y"] - refy])
+                dmax = jnp.where(fl, d, jnp.where(occm, 0.0, -BIGB))
+                dmin = jnp.where(fl, d, jnp.where(occm, 0.0, BIGB))
+                mx = jnp.max(dmax, axis=2)   # (2, rows_loc, nx)
+                mn = jnp.min(dmin, axis=2)
+                if n_dev > 1:
+                    mx = jax.lax.all_gather(mx, AXIS, axis=1, tiled=True)
+                    mn = jax.lax.all_gather(mn, AXIS, axis=1, tiled=True)
+                mx2 = jnp.maximum(mx[:, :-1], mx[:, 1:])
+                mn2 = jnp.minimum(mn[:, :-1], mn[:, 1:])
+                if nx >= 3:
+                    mx2 = jnp.maximum(mx2, jnp.roll(mx2, -1, axis=2))
+                    mn2 = jnp.minimum(mn2, jnp.roll(mn2, -1, axis=2))
+                else:
+                    mx2 = jnp.max(mx2, axis=2, keepdims=True)
+                    mn2 = jnp.min(mn2, axis=2, keepdims=True)
+                b = jnp.max(jnp.maximum(mx2 - mn2, 0.0), axis=(1, 2))
+                return b[0], b[1]
+
+            def local_rebuild(st, pidS, isfS, massS, wvxS, wvyS, wbotS,
+                              wtopS):
+                """Slab-local re-bin: wrap x, bin the 1-row-extended slab
+                with the global cell rule (ops/neighbors._cell_coords),
+                keep particles whose new row is local, rank within each
+                cell by particle id — reproducing the global
+                ``assign_slots`` placement (ops/cellgrid.py:118-136)
+                exactly, with zero cross-device state beyond the 1-row
+                band. Flags: per-cell count > K (overflow) and any
+                occupied slot whose row moved by more than one
+                (impossible under the drift budget — divergence)."""
+                def ext1(slab, fill):
+                    lo, hi = _exchange_bands(slab, fill, 1, n_dev,
+                                             rows_loc, False)
+                    return jnp.concatenate([lo, slab, hi], axis=0)
+
+                occ_mask = st["x"] < 0.5 * BIG
+                xw = jnp.where(
+                    jnp.logical_and(occ_mask, isfS > 0),
+                    jnp.mod(st["x"], spec.DL), st["x"])
+                fields = dict(x=xw, y=st["y"], vx=st["vx"], vy=st["vy"],
+                              dr=st["dr"], isf=isfS, mass=massS,
+                              wvx=wvxS, wvy=wvyS, wbot=wbotS, wtop=wtopS)
+                fills = dict(x=BIG, y=0.0, vx=0.0, vy=0.0, dr=0.0,
+                             isf=0.0, mass=0.0, wvx=0.0, wvy=0.0,
+                             wbot=0.0, wtop=0.0)
+                es = {k: ext1(v, fills[k]).reshape(-1)
+                      for k, v in fields.items()}
+                pid_e = ext1(pidS, n_total).reshape(-1)
+                S_e = pid_e.shape[0]
+                valid = pid_e < n_total
+                cx, cy = _cell_coords(spec, es["x"], es["y"])
+                old_row = jnp.broadcast_to(
+                    (r0 - 1 + jnp.arange(rows_loc + 2,
+                                         dtype=jnp.int32))[:, None, None],
+                    (rows_loc + 2, K, nx)).reshape(-1)
+                jumped = jnp.any(jnp.logical_and(
+                    valid, jnp.abs(cy - old_row) > 1))
+                keep = jnp.logical_and(
+                    valid, jnp.logical_and(cy >= r0,
+                                           cy < r0 + rows_loc))
+                cid = jnp.where(keep, (cy - r0) * nx + cx, n_loc_cells)
+                # rank within cell by particle id == assign_slots' stable
+                # particle-index ranking
+                ord1 = jnp.argsort(pid_e).astype(jnp.int32)
+                cid1 = cid[ord1]
+                ord2 = jnp.argsort(cid1, stable=True).astype(jnp.int32)
+                order = ord1[ord2]
+                cid_s = cid1[ord2]
+                counts = jax.ops.segment_sum(
+                    jnp.ones((S_e,), jnp.int32), cid,
+                    num_segments=n_loc_cells + 1)
+                starts = jnp.cumsum(counts) - counts
+                rank = jnp.arange(S_e, dtype=jnp.int32) - starts[cid_s]
+                ovf = jnp.max(counts[:n_loc_cells]) > K
+                slot_s = jnp.where(
+                    jnp.logical_and(rank < K, cid_s < n_loc_cells),
+                    cid_s * K + rank, n_loc_cells * K)
+                slot = jnp.zeros((S_e,), jnp.int32).at[order].set(slot_s)
+                cid2 = slot // K
+                k2 = slot - cid2 * K
+                iy2 = cid2 // nx
+                ix2 = cid2 - iy2 * nx
+                in_r = slot < n_loc_cells * K
+                pidx_n = jnp.where(in_r, (iy2 * K + k2) * nx + ix2,
+                                   n_loc_cells * K).astype(jnp.int32)
+
+                names = list(fields)
+                pack = jnp.stack([es[k] for k in names], axis=-1)
+                fill_row = jnp.asarray([fills[k] for k in names],
+                                       pack.dtype)
+                flat = jnp.broadcast_to(fill_row,
+                                        (n_loc_cells * K, len(names)))
+                out = flat.at[pidx_n].set(pack, mode="drop").reshape(
+                    rows_loc, K, nx, len(names))
+                new = {k: out[..., i] for i, k in enumerate(names)}
+                pid_n = jnp.full((n_loc_cells * K,), n_total,
+                                 jnp.int32).at[pidx_n].set(
+                    pid_e, mode="drop").reshape(rows_loc, K, nx)
+                return new, pid_n, ovf, jumped
+
+            # ---- the interval loop: groups of drift-bounded sub-chunks
+            # (mirrors stepper.PallasCellEngine._run_interval body) ----
+            zero = jnp.asarray(0.0, dtype)
+            zi = jnp.asarray(0, jnp.int32)
+            false = jnp.asarray(False)
+
+            st0 = dict(x=xS, y=yS, vx=vxS, vy=vyS, dr=drS,
+                       cnt=jnp.zeros((rows_loc, nx), dtype))
+            for k, a in zip(AUX_KEYS, aux_in):
+                st0[k] = a
+
+            def group_body(carry):
+                (st, pidS, isfS, massS, wvxS, wvyS, wbotS, wtopS,
+                 refxS, refyS, t, tc, n_steps, overflow, guard, nroll,
+                 sub_len) = carry
+                stat_h = make_stat_h(isfS, massS, wvxS, wvyS)
+
+                def sub_cond(sc):
+                    st_i, t_i, tc_i, done_i, soft, grd, bp, nrb, slen = sc
+                    return jnp.logical_and(
+                        jnp.logical_not(soft),
+                        jnp.logical_and(done_i < rb, t_i < il))
+
+                def sub_body(sc):
+                    st_i, t_i, tc_i, done_i, soft, grd, bp, nrb, slen = sc
+                    n_sub = jnp.minimum(
+                        slen, jnp.asarray(rb, jnp.int32) - done_i)
+
+                    def scond(c):
+                        i, s, t_c, tc_c = c
+                        return jnp.logical_and(i < n_sub, t_c < il)
+
+                    def sbody(c):
+                        i, s, t_c, tc_c = c
+                        s2, t2, tc2 = one_step(s, stat_h, t_c, tc_c)
+                        return (i + 1, s2, t2, tc2)
+
+                    steps_done, st2, t2, tc2 = jax.lax.while_loop(
+                        scond, sbody, (zi, st_i, t_i, tc_i))
+                    if spec.skin > 0.0:
+                        bx, by = drift_bounds(st2, refxS, refyS, isfS)
+                        trip = jnp.logical_or(bx > sxb, by > syb)
+                        if _PREDICT:
+                            # predictive soft-stop + 3/4-consumed floor
+                            # (see stepper.py for the measured rationale)
+                            soft2 = jnp.logical_or(
+                                jnp.logical_or(
+                                    bx + 1.5 * (bx - bp[0]) > sxb,
+                                    by + 1.5 * (by - bp[1]) > syb),
+                                jnp.logical_or(bx > 0.75 * sxb,
+                                               by > 0.75 * syb))
+                        else:
+                            soft2 = trip
+                    else:
+                        bx = by = zero
+                        soft2, trip = jnp.asarray(True), false
+                    # optimistic execution + rollback with backoff —
+                    # identical decision logic to the single-chip loop
+                    # (all inputs are mesh-identical scalars)
+                    unrecoverable = jnp.logical_and(n_sub == 1,
+                                                    done_i == 0)
+                    recov = jnp.logical_and(
+                        trip, jnp.logical_not(unrecoverable))
+                    grd2 = jnp.logical_and(trip, unrecoverable)
+                    st_out = jax.tree_util.tree_map(
+                        lambda a, b: jnp.where(recov, a, b), st_i, st2)
+                    t_out = jnp.where(recov, t_i, t2)
+                    tc_out = jnp.where(recov, tc_i, tc2)
+                    done_out = jnp.where(recov, done_i,
+                                         done_i + steps_done)
+                    slen_out = jnp.where(recov,
+                                         jnp.maximum(n_sub // 2, 1), slen)
+                    return (st_out, t_out, tc_out, done_out,
+                            soft2 | recov, grd | grd2, (bx, by),
+                            nrb + recov.astype(jnp.int32), slen_out)
+
+                (st, t2, tc2, steps_done, _, grd, _, nrb_g, slen_g) = \
+                    jax.lax.while_loop(
+                        sub_cond, sub_body,
+                        (st, t, tc, zi, false, false, (zero, zero), zi,
+                         sub_len))
+                sub_len2 = jnp.where(nrb_g == 0,
+                                     jnp.minimum(2 * slen_g, _SUB), slen_g)
+
+                new, pid_n, ovf, jumped = local_rebuild(
+                    st, pidS, isfS, massS, wvxS, wvyS, wbotS, wtopS)
+                st_next = dict(st)
+                for k in ("x", "y", "vx", "vy", "dr"):
+                    st_next[k] = new[k]
+                ovf_all = jax.lax.pmax(ovf.astype(jnp.int32), AXIS) > 0
+                jump_all = jax.lax.pmax(jumped.astype(jnp.int32),
+                                        AXIS) > 0
+                return (st_next, pid_n, new["isf"], new["mass"],
+                        new["wvx"], new["wvy"], new["wbot"], new["wtop"],
+                        new["x"], new["y"], t2, tc2,
+                        n_steps + steps_done, overflow | ovf_all,
+                        guard | grd | jump_all, nroll + nrb_g, sub_len2)
+
+            def group_cond(carry):
+                return carry[10] < il
+
+            carry = (st0, pidS, isfS, massS, wvxS, wvyS, wbotS, wtopS,
+                     refxS, refyS, zero, zero, zi, false, false, zi,
+                     jnp.asarray(_SUB, jnp.int32))
+            (st, pidS, isfS, massS, wvxS, wvyS, wbotS, wtopS, _, _,
+             _, _, n_steps, overflow, guard, nroll, _) = \
+                jax.lax.while_loop(group_cond, group_body, carry)
+
+            npairs = jax.lax.psum(jnp.sum(st["cnt"]), AXIS)
+            outs = [st[k] for k in
+                    ("x", "y", "vx", "vy", "dr")] + [pidS] + \
+                   [st[k] for k in AUX_KEYS]
+            return tuple(outs) + (n_steps, overflow, guard, nroll,
+                                  npairs)
+
+        sh, rp = P(AXIS), P()
+        n_in = len(slabs_in)
+        f = shard_map(body, mesh=self.mesh,
+                      in_specs=(rp,) + (sh,) * n_in,
+                      out_specs=(sh,) * (6 + len(AUX_KEYS))
+                      + (rp,) * 5,
+                      check_vma=False)
+        out = f(interval_len, *slabs_in)
+        (xO, yO, vxO, vyO, drO, pidO) = out[:6]
+        aux_o = dict(zip(AUX_KEYS, out[6:6 + len(AUX_KEYS)]))
+        n_steps, overflow, guard, n_rollbacks, npairs = out[-5:]
+
+        # ---- collect to particle order (once per interval) ----
+        pidF = pidO.reshape(-1)
+
+        def collect(slab, fill=0.0):
+            return jnp.full((n_total,), fill, slab.dtype).at[pidF].set(
+                slab.reshape(-1), mode="drop")
+
+        from ..ops.integration import periodic_wrap
+        x_pp = periodic_wrap(spec, collect(xO))
+        y_pp = collect(yO)
+        new_state = State(
+            x=x_pp, y=y_pp, vx=collect(vxO), vy=collect(vyO),
+            rho=collect(aux_o["rho"]), p=collect(aux_o["p"]),
+            drho_dt=collect(drO), fx=collect(aux_o["fx"]),
+            fy=collect(aux_o["fy"]), fpx=collect(aux_o["fpx"]),
+            fpy=collect(aux_o["fpy"]), vol=collect(aux_o["vol"]),
+            b11=collect(aux_o["b11"]), b12=collect(aux_o["b12"]),
+            b21=collect(aux_o["b21"]), b22=collect(aux_o["b22"]))
+
+        # interval-final global rebuild (replicated, once per interval):
+        # the returned layout feeds the next interval's entry scatter and
+        # the wall-shear monitor — the reference's monitor-after-rebuild
+        # ordering (SPH_Poiseuille.m:280-283)
+        lay2 = pc.build_fused_layout(spec, x_pp, y_pp, self._mass,
+                                     self._wall_vx, self._wall_vy,
+                                     self._wall_y)
+        tau_b, tau_t = self._fused_wall_shear(
+            lay2, new_state.x, new_state.y, new_state.vx, new_state.vol,
+            new_state.b11, new_state.b12, new_state.b21, new_state.b22,
+            mu)
+        v_max = jnp.sqrt(jnp.max(new_state.vx[:n_fluid] ** 2
+                                 + new_state.vy[:n_fluid] ** 2))
+        n_pairs = jnp.round(npairs).astype(jnp.int32)
+        return IntervalResult(
+            state=new_state, cands=lay2, geom=n_pairs,
+            tau_bottom=tau_b, tau_top=tau_t, n_steps=n_steps,
+            overflow=overflow | lay2.overflow, skin_guard=guard,
+            v_max=v_max, n_pairs=n_pairs, n_rollbacks=n_rollbacks)
 
     def _fused_wall_shear(self, lay, x, y, vx, vol, b11, b12, b21, b22,
                           mu):
@@ -305,30 +799,8 @@ class ShardedPallasEngine(PallasCellEngine):
         gather_mode = self._gather_mode
 
         def exchange(slab, fill):
-            """(lo, hi) ghost bands of this device's slab: the last/first
-            G rows of the y-neighbor slabs (domain-edge devices read the
-            core fill — walls bound y, nothing beyond them)."""
-            if n_dev == 1:
-                z = jnp.full((G,) + slab.shape[1:], fill, slab.dtype)
-                return z, z
-            idx = jax.lax.axis_index(AXIS)
-            if gather_mode:
-                full = jax.lax.all_gather(slab, AXIS, axis=0, tiled=True)
-                cap = jnp.full((G,) + full.shape[1:], fill, full.dtype)
-                padded = jnp.concatenate([cap, full, cap], axis=0)
-                i0 = idx * rows_loc
-                lo = jax.lax.dynamic_slice_in_dim(padded, i0, G, axis=0)
-                hi = jax.lax.dynamic_slice_in_dim(
-                    padded, i0 + rows_loc + G, G, axis=0)
-                return lo, hi
-            lo = jax.lax.ppermute(
-                slab[-G:], AXIS, [(i, i + 1) for i in range(n_dev - 1)])
-            hi = jax.lax.ppermute(
-                slab[:G], AXIS, [(i, i - 1) for i in range(1, n_dev)])
-            cap = jnp.full_like(lo, fill)
-            lo = jnp.where(idx == 0, cap, lo)
-            hi = jnp.where(idx == n_dev - 1, cap, hi)
-            return lo, hi
+            return _exchange_bands(slab, fill, G, n_dev, rows_loc,
+                                   gather_mode)
 
         def local_step(xs, ys, vxs, vys, drs, isfs, ms, wvxs, wvys,
                        dtl, gl, mul):
