@@ -140,7 +140,9 @@ def main(argv=None) -> int:
         from .parallel import make_workloads, run_sweep
         mus = [float(v) for v in args.sweep_mus.split(",") if v.strip()]
         gs, mus = make_workloads(cfg, mus)
-        out = run_sweep(cfg, gs, mus, lane_chunk=args.sweep_lane_chunk)
+        sweep_paths = SimulationPaths.from_env(args.base_dir)
+        out = run_sweep(cfg, gs, mus, lane_chunk=args.sweep_lane_chunk,
+                        paths=sweep_paths)
         for k, (mu_k, l2_k) in enumerate(zip(mus, out["l2_errors"])):
             print(f"workload {k}: mu={mu_k:g} L2={100 * l2_k:.3f}%"
                   f" {'PASS' if l2_k < 0.05 else 'FAIL'}")
