@@ -22,7 +22,11 @@ from sph_poiseuille_flow_tpu.utils import postprocess as pp
 
 
 def run(dp=0.05, end_time=20.0, transport_coeff=None, c_f=15.0,
-        output_interval=1.0, log=print):
+        output_interval=1.0, log=print, snapshot=None):
+    """``snapshot(t, x, y, vx)`` (fluid-only views), when given, is called
+    at every output point — the hook the measurement-procedure scan
+    (experiments/procedure_scan.py) uses to re-bin the SAME trajectory
+    under every plausible L2 procedure."""
     import dataclasses
     cfg = derive_config(DL=3.0, DH=1.0, dp=dp, rho0=1.0, mu=0.1,
                         U_bulk=0.666667, c_f=c_f, end_time=end_time,
@@ -83,6 +87,9 @@ def run(dp=0.05, end_time=20.0, transport_coeff=None, c_f=15.0,
         pairs = oc.build_pairs(x, y, nf, cfg.DL, cfg.h)
 
         if t >= next_out - 1e-12:
+            if snapshot is not None:
+                snapshot(t, x[:nf].copy(), y[:nf].copy(),
+                         vel[:nf, 0].copy())
             y_mid, u_mean = pp.binned_profile_mean(y[:nf], vel[:nf, 0],
                                                    0.0, cfg.DH, cfg.n_bins)
             l2 = pp.compute_l2_error(u_mean, cfg.analytic_u(y_mid))
