@@ -338,21 +338,59 @@ _N_CACHE = 5        # geometry-cache slabs: ex ey r dw*m1 dw*mw
 # sweep 1 folds in the neighbor volumes (write-back as dw*Vol_j*mask), so
 # sweeps 1-3 skip _geometry (incl. its rsqrt) AND the x/y/isf slab
 # staging — ~35% of the step's flops at the shipping dp=0.025 grid
-# (docs/SCALING.md roofline). Big grids (dp <= 0.01) exceed the budget
-# and keep the recompute path.
+# (docs/SCALING.md roofline).
+#
+# Two cache layouts:
+# * "full": one slab per (group, k) — n_groups*K slabs, sweep-major
+#   schedule (all groups of sweep s before sweep s+1). Fits small grids.
+# * "ring": depth-4 ring of per-(slot, k) slabs under a WAVEFRONT
+#   schedule — at phase p, sweep s processes group p - s (s ascending
+#   within the phase, so every cross-group dependency — sweep s of group
+#   g needs sweep s-1's outputs from groups g-1..g+1 — is satisfied:
+#   sweep s-1 of group g+1 runs at phase g+s, one position earlier in
+#   the SAME phase). A group's geometry is written by sweep 0 at phase g
+#   into slot g mod 4 and last read by sweep 3 at phase g+3, before
+#   sweep 0 of group g+4 overwrites the slot — so 4 slots suffice and
+#   the cache shrinks by n_groups/4, bringing the measured ~15% cache
+#   gain (docs/SCALING.md) to the dp <= 0.01 grids whose full cache
+#   exceeds VMEM. Values are bit-identical to the sweep-major schedule
+#   (each (sweep, group) body sees exactly the same inputs; only the
+#   execution order of independent bodies changes).
 _GEOM_CACHE_BUDGET = 48 * 1024 * 1024
+_RING_CACHE_BUDGET = 80 * 1024 * 1024
+_RING_DEPTH = 4
 
 
-def use_geom_cache(spec: GridSpec, dtype) -> bool:
-    """True when the 5-slab per-(group, k) geometry cache fits the VMEM
-    budget (tile-padded estimate) alongside the working set."""
+def _cache_bytes(spec: GridSpec, dtype, n_slots: int) -> int:
     R, L, n_groups, nyp = plan(spec)
     K = spec.K
     esize = jnp.dtype(dtype).itemsize
     sub = -(-9 * K // 8) * 8
     lanes = -(-L // 128) * 128
-    return _N_CACHE * n_groups * K * sub * lanes * esize \
-        <= _GEOM_CACHE_BUDGET
+    return _N_CACHE * n_slots * K * sub * lanes * esize
+
+
+def use_geom_cache(spec: GridSpec, dtype) -> bool:
+    """True when the full per-(group, k) geometry cache fits the VMEM
+    budget (tile-padded estimate) alongside the working set."""
+    R, L, n_groups, nyp = plan(spec)
+    return _cache_bytes(spec, dtype, n_groups) <= _GEOM_CACHE_BUDGET
+
+
+def cache_mode(spec: GridSpec, dtype) -> str:
+    """Resolve the geometry-cache layout: "full" | "ring" | "none".
+    SPH_GEOM_CACHE overrides for probing (auto|full|ring|none|0)."""
+    import os
+    env = os.environ.get("SPH_GEOM_CACHE", "auto")
+    if env in ("0", "none"):
+        return "none"
+    if env in ("full", "ring"):
+        return env
+    if use_geom_cache(spec, dtype):
+        return "full"
+    if _cache_bytes(spec, dtype, _RING_DEPTH) <= _RING_CACHE_BUDGET:
+        return "ring"
+    return "none"
 
 
 def _when(cond):
@@ -423,37 +461,59 @@ def use_rows(spec: GridSpec, dtype) -> bool:
 
 
 def _step_kernel(*refs, spec, R, L, n_groups, nyp, scalars,
-                 sweep_offset=0, n_cache=0, rows=False):
+                 sweep_offset=0, n_cache=0, rows=False, ring=False):
     if n_cache:
         cache = refs[-n_cache:]
         refs = refs[:-n_cache]
     else:
         cache = None
     occs, params = refs[9], refs[10]
-    sweep = pl.program_id(0) + sweep_offset
-    grp = pl.program_id(1)
+    if ring:
+        # wavefront grid (n_groups + 3, 4): at phase p = program_id(0),
+        # sweep s = program_id(1) processes group p - s (see the ring
+        # cache-layout note above _GEOM_CACHE_BUDGET)
+        sweep = pl.program_id(1)
+        grp = pl.program_id(0) - sweep
+    else:
+        sweep = pl.program_id(0) + sweep_offset
+        grp = pl.program_id(1)
     # (g, mu, wall_visc_factor) arrive via SMEM so sweeps over them reuse
     # ONE compile (the remaining scalars are true physics constants)
     full = scalars[:5] + (params[0, 1], params[0, 2], params[0, 3])
-    if rows:
-        _kernel_body_rows(refs, spec=spec, R=R, L=L, n_groups=n_groups,
-                          nyp=nyp, scalars=full, sweep=sweep, grp=grp,
-                          dt=params[0, 0], kmax=occs[grp, 0], occs=occs)
+
+    def run(grp):
+        if rows:
+            _kernel_body_rows(refs, spec=spec, R=R, L=L,
+                              n_groups=n_groups, nyp=nyp, scalars=full,
+                              sweep=sweep, grp=grp, dt=params[0, 0],
+                              kmax=occs[grp, 0], occs=occs)
+        else:
+            _kernel_body(refs, spec=spec, R=R, L=L, n_groups=n_groups,
+                         nyp=nyp, scalars=full, sweep=sweep, grp=grp,
+                         dt=params[0, 0], kmax=occs[grp, 0], cache=cache,
+                         ring=ring)
+
+    if ring:
+        grp_c = jnp.clip(grp, 0, n_groups - 1)
+
+        @pl.when(jnp.logical_and(grp >= 0, grp < n_groups))
+        def _():
+            run(grp_c)
     else:
-        _kernel_body(refs, spec=spec, R=R, L=L, n_groups=n_groups,
-                     nyp=nyp, scalars=full, sweep=sweep, grp=grp,
-                     dt=params[0, 0], kmax=occs[grp, 0], cache=cache)
+        run(grp)
 
 
 def _kernel_body(refs, *, spec, R, L, n_groups, nyp, scalars, sweep, grp,
-                 dt, kmax, cache=None):
+                 dt, kmax, cache=None, ring=False):
     """One (sweep, grp) cell of the fused step. ``refs`` uses the v2
     positional layout (occs/dts slots present but unread — sweep/grp/dt/
     kmax arrive as parameters so the chunk kernel can drive the same body
-    from in-kernel loops)."""
+    from in-kernel loops). ``ring``: cache slabs are indexed modulo
+    _RING_DEPTH (wavefront schedule, see the cache-layout note above)."""
     (rho0, p0, c_f, inv_sigma0, transport_coeff, g, mu, wf) = scalars
     nx, K, h = spec.nx, spec.K, spec.h
     NK = 9 * K
+    cslot = (grp % _RING_DEPTH) if ring else grp
 
     (xC, yC, vxC, vyC, drC, isfC, massC, wvxC, wvyC) = refs[:9]
     (volO, b11O, b12O, b21O, b22O, vx2O, vy2O,
@@ -501,7 +561,7 @@ def _kernel_body(refs, *, spec, R, L, n_groups, nyp, scalars, sweep, grp,
             if cache is not None:
                 @_when(valid)
                 def _():
-                    ck = grp * K + k
+                    ck = cslot * K + k
                     cache[0][ck, :, :] = ex
                     cache[1][ck, :, :] = ey
                     cache[2][ck, :, :] = r
@@ -575,7 +635,7 @@ def _kernel_body(refs, *, spec, R, L, n_groups, nyp, scalars, sweep, grp,
                     spec, k, scr[0], scr[1], scr[2], need_w=False)
                 rf = r * dw * volv * (m1 + mw)
             else:
-                ck = grp * K + k
+                ck = cslot * K + k
                 ex = cache[0][ck, :, :]
                 ey = cache[1][ck, :, :]
                 r = cache[2][ck, :, :]
@@ -672,7 +732,7 @@ def _kernel_body(refs, *, spec, R, L, n_groups, nyp, scalars, sweep, grp,
                 dwvw = dwv * mw
                 vola = scr[3][A, :]
             else:
-                ck = grp * K + k
+                ck = cslot * K + k
                 ex = cache[0][ck, :, :]
                 ey = cache[1][ck, :, :]
                 r = cache[2][ck, :, :]
@@ -822,7 +882,7 @@ def _kernel_body(refs, *, spec, R, L, n_groups, nyp, scalars, sweep, grp,
                 xa = scr[0][A, :]
                 ya = scr[1][A, :]
             else:
-                ck = grp * K + k
+                ck = cslot * K + k
                 ex = cache[0][ck, :, :]
                 ey = cache[1][ck, :, :]
                 dwv1 = cache[3][ck, :, :]
@@ -1274,11 +1334,15 @@ def _fused_call(spec: GridSpec, cores, occ, dt, scalars):
     plain_shape = (nyp, K, nx)
 
     rows = use_rows(spec, dtype)
-    gc = (not rows) and use_geom_cache(spec, dtype)
+    cm = "none" if rows else cache_mode(spec, dtype)
+    gc = cm != "none"
+    ring = cm == "ring"
+    n_slots = _RING_DEPTH if ring else n_groups
     kernel = functools.partial(_step_kernel, spec=spec, R=R, L=L,
                                n_groups=n_groups, nyp=nyp,
                                scalars=scalars[:5] + (None, None, None),
-                               n_cache=_N_CACHE if gc else 0, rows=rows)
+                               n_cache=_N_CACHE if gc else 0, rows=rows,
+                               ring=ring)
     out_shape = ([jax.ShapeDtypeStruct(halo_shape, dtype)] * _HALO_OUT
                  + [jax.ShapeDtypeStruct(plain_shape, dtype)] * _PLAIN_OUT
                  + [jax.ShapeDtypeStruct((n_groups, L), dtype)])
@@ -1288,7 +1352,7 @@ def _fused_call(spec: GridSpec, cores, occ, dt, scalars):
                         jnp.asarray(scalars[7], dtype)]).reshape(1, 4)
     return pl.pallas_call(
         kernel,
-        grid=(4, n_groups),
+        grid=(n_groups + 3, 4) if ring else (4, n_groups),
         in_specs=([pl.BlockSpec(memory_space=pltpu.VMEM)] * 9
                   + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2),
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * _N_OUT,
@@ -1301,7 +1365,7 @@ def _fused_call(spec: GridSpec, cores, occ, dt, scalars):
                pltpu.VMEM(halo_shape, dtype),    # p_half core
                pltpu.VMEM(plain_shape, dtype),   # dx_shift core
                pltpu.VMEM(plain_shape, dtype)]   # dy_shift core
-            + ([pltpu.VMEM((n_groups * K, 9 * K, L), dtype)
+            + ([pltpu.VMEM((n_slots * K, 9 * K, L), dtype)
                 for _ in range(_N_CACHE)] if gc else [])),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -1319,7 +1383,7 @@ _C_IN = 14   # xH0 yH0 vxH0 vyH0 drP0 isfC massC wvxC wvyC refxP
 _C_STATE = 5  # leading outputs: xHs yHs vxHs vyHs drPs (working state)
 
 def _chunk_kernel(*refs, spec, R, L, n_groups, nyp, scalars, n_cache=0,
-                  rows=False):
+                  rows=False, ring=False):
     """Run up to ``nsub`` whole physics steps inside ONE kernel: the state
     cores live in the output refs (VMEM) across steps, the four pair
     sweeps reuse ``_kernel_body`` verbatim, and the per-step XLA glue
@@ -1388,21 +1452,40 @@ def _chunk_kernel(*refs, spec, R, L, n_groups, nyp, scalars, n_cache=0,
                         jnp.minimum(jnp.asarray(dt_body, fdtype), remain)),
             1e-12)
 
-        for s in range(4):
-            def gbody(grp, carry, s=s):
-                if rows:
-                    _kernel_body_rows(
-                        body_refs, spec=spec, R=R, L=L,
-                        n_groups=n_groups, nyp=nyp, scalars=full_scalars,
-                        sweep=s, grp=grp, dt=dt, kmax=occs[grp, 0],
-                        occs=occs)
-                else:
-                    _kernel_body(body_refs, spec=spec, R=R, L=L,
-                                 n_groups=n_groups, nyp=nyp,
-                                 scalars=full_scalars, sweep=s, grp=grp,
-                                 dt=dt, kmax=occs[grp, 0], cache=cache)
+        def run_cell(s, grp):
+            if rows:
+                _kernel_body_rows(
+                    body_refs, spec=spec, R=R, L=L,
+                    n_groups=n_groups, nyp=nyp, scalars=full_scalars,
+                    sweep=s, grp=grp, dt=dt, kmax=occs[grp, 0],
+                    occs=occs)
+            else:
+                _kernel_body(body_refs, spec=spec, R=R, L=L,
+                             n_groups=n_groups, nyp=nyp,
+                             scalars=full_scalars, sweep=s, grp=grp,
+                             dt=dt, kmax=occs[grp, 0], cache=cache,
+                             ring=ring)
+
+        if ring:
+            # wavefront schedule (see the ring cache-layout note): phase
+            # p runs sweep s on group p - s; each sweep body is emitted
+            # once (static s) behind a group-validity predicate
+            def pbody(p, carry):
+                for s in range(4):
+                    grp = p - s
+                    grp_c = jnp.clip(grp, 0, n_groups - 1)
+
+                    @pl.when(jnp.logical_and(grp >= 0, grp < n_groups))
+                    def _(s=s, grp_c=grp_c):
+                        run_cell(s, grp_c)
                 return carry
-            jax.lax.fori_loop(0, n_groups, gbody, 0)
+            jax.lax.fori_loop(0, n_groups + 3, pbody, 0)
+        else:
+            for s in range(4):
+                def gbody(grp, carry, s=s):
+                    run_cell(s, grp)
+                    return carry
+                jax.lax.fori_loop(0, n_groups, gbody, 0)
 
         # positions stay UNWRAPPED within a chunk: pair dx through the
         # translated x-halos requires center values continuous with the
@@ -1474,10 +1557,13 @@ def fused_chunk_call(spec: GridSpec, lay: FusedLayout, xH, yH, vxH, vyH,
     plain_shape = (nyp, K, nx)
     scalars = (rho0, p0, c_f, inv_sigma0, transport_coeff)
     rows = use_rows(spec, dtype)
-    gc = (not rows) and use_geom_cache(spec, dtype)
+    cm = "none" if rows else cache_mode(spec, dtype)
+    gc = cm != "none"
+    n_slots = _RING_DEPTH if cm == "ring" else n_groups
     kernel = functools.partial(_chunk_kernel, spec=spec, R=R, L=L,
                                n_groups=n_groups, nyp=nyp, scalars=scalars,
-                               n_cache=_N_CACHE if gc else 0, rows=rows)
+                               n_cache=_N_CACHE if gc else 0, rows=rows,
+                               ring=(cm == "ring"))
     params = jnp.stack([jnp.asarray(t_local, dtype),
                         jnp.asarray(t_comp, dtype),
                         jnp.asarray(interval_len, dtype),
@@ -1512,7 +1598,7 @@ def fused_chunk_call(spec: GridSpec, lay: FusedLayout, xH, yH, vxH, vyH,
                pltpu.VMEM(halo_shape, dtype),    # p_half core
                pltpu.VMEM(plain_shape, dtype),   # dx_shift core
                pltpu.VMEM(plain_shape, dtype)]   # dy_shift core
-            + ([pltpu.VMEM((n_groups * K, 9 * K, L), dtype)
+            + ([pltpu.VMEM((n_slots * K, 9 * K, L), dtype)
                 for _ in range(_N_CACHE)] if gc else [])),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),

@@ -171,6 +171,103 @@ def test_expand_exact_beyond_bf16():
     np.testing.assert_array_equal(np.asarray(out), expect)
 
 
+@pytest.mark.parametrize("mode", ["ring", "none"])
+def test_geom_cache_modes_bit_identical(monkeypatch, mode):
+    """"ring" (the depth-4 wavefront schedule — ops/fused_cell.cache_mode's
+    dp <= 0.01 fallback whose VMEM footprint is n_groups/4 smaller) must be
+    BIT-identical to the full per-(group, k) cache: each (sweep, group)
+    body sees exactly the same inputs, only the execution order of
+    independent bodies changes. "none" (the recompute path) is
+    ULP-equivalent, not bit-equal: the cache stores the dw*m1 / dw*mw
+    PRODUCTS (and sweep 1's dw*Vol*mask write-back), whose association
+    order differs from the recompute expression — measured 1-ULP
+    differences on <0.1% of elements over a ~20-step interval. The tall
+    domain yields 6+ row groups, so ring slots genuinely cycle (group 4
+    overwrites group 0's slot) and the wavefront ramp-up/steady/ramp-down
+    phases are all on the compared path."""
+    import jax.numpy as jnp
+
+    import sph_poiseuille_flow_tpu.ops.fused_cell as fc
+
+    cfg = default_cfg(DL=1.0, DH=5.0, dp=0.05, end_time=0.2,
+                      output_interval=0.1, engine="pallas",
+                      rebuild_every=8)
+    scene = build_scene(cfg)
+    s0 = initial_state(cfg, scene)
+
+    monkeypatch.setenv("SPH_GEOM_CACHE", "full")
+    full_eng = PallasCellEngine(cfg, scene)
+    spec = full_eng.spec
+    assert fc.plan(spec)[2] > fc._RING_DEPTH, \
+        "test domain too shallow to cycle the ring"
+    assert fc.cache_mode(spec, jnp.float32) == "full"
+    s1, l1, g1, _ = full_eng.init(s0)
+    r_full = full_eng.run_interval(s1, l1, g1, np.float32(0.005))
+    # trace the single-step path while the env still says "full"
+    # (cache_mode is read at trace time, which is the first call)
+    o_full = full_eng.step(s1, l1, g1, remain=1.0)
+
+    monkeypatch.setenv("SPH_GEOM_CACHE", mode)
+    assert fc.cache_mode(spec, jnp.float32) == mode
+    eng2 = PallasCellEngine(cfg, scene)   # fresh trace under the env
+    s2, l2, g2, _ = eng2.init(s0)
+    r2 = eng2.run_interval(s2, l2, g2, np.float32(0.005))
+
+    assert int(r_full.n_steps) == int(r2.n_steps)
+    assert int(r_full.n_pairs) == int(r2.n_pairs)
+
+    def cmp(a, b, msg):
+        a, b = np.asarray(a), np.asarray(b)
+        if mode == "ring":
+            np.testing.assert_array_equal(a, b, err_msg=msg)
+        else:   # recompute: ULP-level reassociation only (p amplifies a
+            #       rho ULP by p0/rho0 = 225 -> atol covers it)
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=5e-5,
+                                       err_msg=msg)
+
+    for name in r_full.state._fields:
+        cmp(getattr(r2.state, name), getattr(r_full.state, name), name)
+    cmp(r2.tau_bottom, r_full.tau_bottom, "tau_bottom")
+
+    # the single-step path (_fused_call: grid-scheduled wavefront when
+    # ring) must match too
+    o2 = eng2.step(s2, l2, g2, remain=1.0)
+    for name in o_full[0]._fields:
+        cmp(getattr(o2[0], name), getattr(o_full[0], name),
+            f"step {name}")
+
+
+def test_cache_mode_resolution_shipping_grids():
+    """Pin the auto cache-mode picks at the three bench grids (the
+    shipping perf configs, docs/SCALING.md): dp=0.025 fits the FULL
+    per-(group, k) cache; dp=0.01 exceeds it but fits the depth-4 RING
+    (the measured +26% grid); dp=0.005's ring alone is 140 MB against
+    the 128 MB VMEM (measured Mosaic OOM at 172.7 MB with the working
+    set) so it must resolve NONE — a silent flip either way is a perf
+    or a compile regression."""
+    import jax.numpy as jnp
+
+    import sph_poiseuille_flow_tpu.ops.fused_cell as fc
+    from sph_poiseuille_flow_tpu.config import derive_config
+
+    for dp, want in ((0.025, "full"), (0.01, "ring"), (0.005, "none")):
+        nx3 = round(3.0 / (3.0 * dp))
+        cfg = derive_config(
+            DL=3.0, DH=1.0, dp=dp, rho0=1.0, mu=0.1, U_bulk=0.666667,
+            c_f=15.0, end_time=20.0, output_interval=0.5,
+            sort_interval=100, restart_from_file=False, engine="pallas",
+            neighbor_skin=0.3 * dp, rebuild_every=128, cell_capacity=14,
+            lane_pack_nx=nx3, neighbor_capacity=56)
+        eng = PallasCellEngine(cfg, build_scene(cfg))
+        assert fc.cache_mode(eng.spec, jnp.float32) == want, \
+            f"dp={dp}: cache_mode flipped from {want}"
+        if want != "none":   # budgeted estimate stays under the limit
+            n_slots = (fc._RING_DEPTH if want == "ring"
+                       else fc.plan(eng.spec)[2])
+            assert fc._cache_bytes(eng.spec, jnp.float32, n_slots) \
+                <= fc._RING_CACHE_BUDGET
+
+
 @pytest.fixture(scope="module")
 def engines_shipping():
     """Shipping-style lane-packed pick, shrunk to an interpret-affordable
