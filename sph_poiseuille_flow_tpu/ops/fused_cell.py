@@ -340,7 +340,7 @@ _N_CACHE = 5        # geometry-cache slabs: ex ey r dw*m1 dw*mw
 # staging — ~35% of the step's flops at the shipping dp=0.025 grid
 # (docs/SCALING.md roofline).
 #
-# Two cache layouts:
+# Three cache layouts:
 # * "full": one slab per (group, k) — n_groups*K slabs, sweep-major
 #   schedule (all groups of sweep s before sweep s+1). Fits small grids.
 # * "ring": depth-4 ring of per-(slot, k) slabs under a WAVEFRONT
@@ -356,16 +356,25 @@ _N_CACHE = 5        # geometry-cache slabs: ex ey r dw*m1 dw*mw
 #   exceeds VMEM. Values are bit-identical to the sweep-major schedule
 #   (each (sweep, group) body sees exactly the same inputs; only the
 #   execution order of independent bodies changes).
+# * "partial": the ring, truncated in anchor RANK — only ranks
+#   k < k_cut are cached; the occupancy-bounded k-loops split into a
+#   cached head [0, k_cut) and a recompute tail [k_cut, kmax). For
+#   grids whose depth-4 ring still exceeds VMEM (dp=0.005: 140 MB vs
+#   128 MB, measured OOM — docs/SCALING.md), this trades away the
+#   staging saving (sweeps 1-3 must still stage x/y/isf for the tail)
+#   to keep the geometry saving on the head ranks.
 _GEOM_CACHE_BUDGET = 48 * 1024 * 1024
 _RING_CACHE_BUDGET = 80 * 1024 * 1024
+_PARTIAL_CACHE_BUDGET = 64 * 1024 * 1024
 _RING_DEPTH = 4
 
 
-def _cache_bytes(spec: GridSpec, dtype, n_slots: int) -> int:
+def _cache_bytes(spec: GridSpec, dtype, n_slots: int,
+                 k_cut: int | None = None) -> int:
     R, L, n_groups, nyp = plan(spec)
-    K = spec.K
+    K = spec.K if k_cut is None else k_cut
     esize = jnp.dtype(dtype).itemsize
-    sub = -(-9 * K // 8) * 8
+    sub = -(-9 * spec.K // 8) * 8
     lanes = -(-L // 128) * 128
     return _N_CACHE * n_slots * K * sub * lanes * esize
 
@@ -377,20 +386,44 @@ def use_geom_cache(spec: GridSpec, dtype) -> bool:
     return _cache_bytes(spec, dtype, n_groups) <= _GEOM_CACHE_BUDGET
 
 
-def cache_mode(spec: GridSpec, dtype) -> str:
-    """Resolve the geometry-cache layout: "full" | "ring" | "none".
-    SPH_GEOM_CACHE overrides for probing (auto|full|ring|none|0)."""
+def cache_plan(spec: GridSpec, dtype) -> tuple:
+    """Resolve the geometry-cache layout: ("full"|"ring"|"partial"|"none",
+    k_cut) with k_cut = number of cached anchor ranks (== K except for
+    "partial"). SPH_GEOM_CACHE overrides the mode for probing
+    (auto|full|ring|partial|none|0); SPH_GEOM_KCUT overrides k_cut."""
     import os
+    K = spec.K
     env = os.environ.get("SPH_GEOM_CACHE", "auto")
+
+    def partial_kcut():
+        kc = int(os.environ.get("SPH_GEOM_KCUT", "0"))
+        if kc <= 0:
+            kc = K - 1
+            while kc >= 2 and _cache_bytes(
+                    spec, dtype, _RING_DEPTH, kc) > _PARTIAL_CACHE_BUDGET:
+                kc -= 1
+        u = _k_unroll()   # the k-loop split point must align to the unroll
+        return min(kc - kc % u, K)
+
     if env in ("0", "none"):
-        return "none"
+        return "none", 0
     if env in ("full", "ring"):
-        return env
+        return env, K
+    if env == "partial":
+        return "partial", partial_kcut()
     if use_geom_cache(spec, dtype):
-        return "full"
+        return "full", K
     if _cache_bytes(spec, dtype, _RING_DEPTH) <= _RING_CACHE_BUDGET:
-        return "ring"
-    return "none"
+        return "ring", K
+    kc = partial_kcut()
+    if kc >= 2:
+        return "partial", kc
+    return "none", 0
+
+
+def cache_mode(spec: GridSpec, dtype) -> str:
+    """Resolved geometry-cache layout name (see cache_plan)."""
+    return cache_plan(spec, dtype)[0]
 
 
 def _when(cond):
@@ -438,6 +471,31 @@ def _kloop(kmax, K, unroll, body, carry0):
     return jax.lax.fori_loop(0, n_it, ubody, carry0)
 
 
+def _kloop_span(k0, kmax, K, unroll, body, carry0):
+    """_kloop over anchor ranks [k0, kmax) — the recompute tail of a
+    partial-cache split (k0 static, a multiple of ``unroll`` so the
+    rank-0-of-iteration validity argument of _kloop still holds). Runs
+    zero iterations when kmax <= k0."""
+    if unroll <= 1:
+        return jax.lax.fori_loop(
+            k0, jnp.maximum(kmax, k0), lambda k, c: body(k, True, c),
+            carry0)
+    assert k0 % unroll == 0, "partial k_cut must align to the unroll"
+    n_it = (kmax + unroll - 1) // unroll
+
+    def ubody(i, c):
+        for j in range(unroll):
+            k = i * unroll + j
+            if j == 0:
+                c = body(k, True, c)
+            else:
+                c = body(jnp.minimum(k, K - 1), k < kmax, c)
+        return c
+
+    return jax.lax.fori_loop(k0 // unroll, jnp.maximum(n_it, k0 // unroll),
+                             ubody, carry0)
+
+
 def _maskv(valid, v):
     """Zero ``v`` on tail (invalid) unrolled ranks."""
     return v if valid is True else jnp.where(valid, v, jnp.zeros_like(v))
@@ -461,7 +519,8 @@ def use_rows(spec: GridSpec, dtype) -> bool:
 
 
 def _step_kernel(*refs, spec, R, L, n_groups, nyp, scalars,
-                 sweep_offset=0, n_cache=0, rows=False, ring=False):
+                 sweep_offset=0, n_cache=0, rows=False, ring=False,
+                 k_cut=None):
     if n_cache:
         cache = refs[-n_cache:]
         refs = refs[:-n_cache]
@@ -491,7 +550,7 @@ def _step_kernel(*refs, spec, R, L, n_groups, nyp, scalars,
             _kernel_body(refs, spec=spec, R=R, L=L, n_groups=n_groups,
                          nyp=nyp, scalars=full, sweep=sweep, grp=grp,
                          dt=params[0, 0], kmax=occs[grp, 0], cache=cache,
-                         ring=ring)
+                         ring=ring, k_cut=k_cut)
 
     if ring:
         grp_c = jnp.clip(grp, 0, n_groups - 1)
@@ -504,16 +563,23 @@ def _step_kernel(*refs, spec, R, L, n_groups, nyp, scalars,
 
 
 def _kernel_body(refs, *, spec, R, L, n_groups, nyp, scalars, sweep, grp,
-                 dt, kmax, cache=None, ring=False):
+                 dt, kmax, cache=None, ring=False, k_cut=None):
     """One (sweep, grp) cell of the fused step. ``refs`` uses the v2
     positional layout (occs/dts slots present but unread — sweep/grp/dt/
     kmax arrive as parameters so the chunk kernel can drive the same body
     from in-kernel loops). ``ring``: cache slabs are indexed modulo
-    _RING_DEPTH (wavefront schedule, see the cache-layout note above)."""
+    _RING_DEPTH (wavefront schedule, see the cache-layout note above).
+    ``k_cut``: partial cache — only anchor ranks k < k_cut are cached;
+    the k-loops split into a cached head and a recompute tail, and the
+    anchor-side reads of the cached head come from the (staged) scr
+    slabs instead of asides, since the tail stages them anyway."""
     (rho0, p0, c_f, inv_sigma0, transport_coeff, g, mu, wf) = scalars
     nx, K, h = spec.nx, spec.K, spec.h
     NK = 9 * K
     cslot = (grp % _RING_DEPTH) if ring else grp
+    kc = K if (cache is None or k_cut is None) else k_cut
+    partial = cache is not None and kc < K
+    unroll = _k_unroll()
 
     (xC, yC, vxC, vyC, drC, isfC, massC, wvxC, wvyC) = refs[:9]
     (volO, b11O, b12O, b21O, b22O, vx2O, vy2O,
@@ -555,13 +621,13 @@ def _kernel_body(refs, *, spec, R, L, n_groups, nyp, scalars, sweep, grp,
         zero_accs(3)
         inv_rho0 = 1.0 / rho0
 
-        def kbody(k, valid, cnt):
+        def kbody(k, valid, cnt, store=cache is not None):
             af, r, ex, ey, w, dw, m1, mw = _geometry(
                 spec, k, scr[0], scr[1], scr[2])
-            if cache is not None:
+            if store:
                 @_when(valid)
                 def _():
-                    ck = cslot * K + k
+                    ck = cslot * kc + k
                     cache[0][ck, :, :] = ex
                     cache[1][ck, :, :] = ey
                     cache[2][ck, :, :] = r
@@ -599,8 +665,15 @@ def _kernel_body(refs, *, spec, R, L, n_groups, nyp, scalars, sweep, grp,
                 0.5 * jnp.sum(m1, axis=0, keepdims=True)
                 + jnp.sum(mw, axis=0, keepdims=True)))
 
-        cnt = _kloop(kmax, K, _k_unroll(), kbody,
-                     jnp.zeros((1, L), fdtype))
+        if partial:
+            cnt = _kloop(jnp.minimum(kmax, kc), K, unroll,
+                         lambda k, v, c: kbody(k, v, c, store=True),
+                         jnp.zeros((1, L), fdtype))
+            cnt = _kloop_span(kc, kmax, K, unroll,
+                              lambda k, v, c: kbody(k, v, c, store=False),
+                              cnt)
+        else:
+            cnt = _kloop(kmax, K, unroll, kbody, jnp.zeros((1, L), fdtype))
         cntO[pl.ds(grp, 1), :] = cnt
         _flush(volO, acc[0], g0, spec, R, halo=True)
         # rho_half/p_half travel in dedicated halo'd scratch cores appended
@@ -620,22 +693,22 @@ def _kernel_body(refs, *, spec, R, L, n_groups, nyp, scalars, sweep, grp,
     @_when(sweep == 1)
     def _kgc():
         _stage(scr[3], volO, g0, spec, R)
-        if cache is None:
+        if cache is None or partial:
             _stage(scr[0], xC, g0, spec, R)
             _stage(scr[1], yC, g0, spec, R)
             _stage(scr[2], isfC, g0, spec, R)
-        else:
+        if cache is not None and not partial:
             _stage_aside(aside[0], isfC, g0, spec, R, halo=True)
         zero_accs(4)
 
-        def kbody(k, valid, carry):
+        def kbody(k, valid, carry, cached=cache is not None):
             volv = scr[3][:, :]
-            if cache is None:
+            if not cached:
                 af, r, ex, ey, w, dw, m1, mw = _geometry(
                     spec, k, scr[0], scr[1], scr[2], need_w=False)
                 rf = r * dw * volv * (m1 + mw)
             else:
-                ck = cslot * K + k
+                ck = cslot * kc + k
                 ex = cache[0][ck, :, :]
                 ey = cache[1][ck, :, :]
                 r = cache[2][ck, :, :]
@@ -649,7 +722,8 @@ def _kernel_body(refs, *, spec, R, L, n_groups, nyp, scalars, sweep, grp,
                     cache[3][ck, :, :] = dwv1
                     cache[4][ck, :, :] = dwvw
 
-                af = aside[0][pl.ds(k, 1), :]
+                af = (scr[2][pl.ds(4 * K + k, 1), :] if partial
+                      else aside[0][pl.ds(k, 1), :])
                 rf = r * (dwv1 + dwvw)
             a11 = -jnp.sum(rf * ex * ex, axis=0, keepdims=True)
             a12 = -jnp.sum(rf * ex * ey, axis=0, keepdims=True)
@@ -688,7 +762,15 @@ def _kernel_body(refs, *, spec, R, L, n_groups, nyp, scalars, sweep, grp,
 
             return carry
 
-        _kloop(kmax, K, _k_unroll(), kbody, jnp.zeros((1, 1), fdtype))
+        if partial:
+            _kloop(jnp.minimum(kmax, kc), K, unroll,
+                   lambda k, v, c: kbody(k, v, c, cached=True),
+                   jnp.zeros((1, 1), fdtype))
+            _kloop_span(kc, kmax, K, unroll,
+                        lambda k, v, c: kbody(k, v, c, cached=False),
+                        jnp.zeros((1, 1), fdtype))
+        else:
+            _kloop(kmax, K, unroll, kbody, jnp.zeros((1, 1), fdtype))
         _flush(b11O, acc[0], g0, spec, R, halo=True)
         _flush(b12O, acc[1], g0, spec, R, halo=True)
         _flush(b21O, acc[2], g0, spec, R, halo=True)
@@ -700,12 +782,12 @@ def _kernel_body(refs, *, spec, R, L, n_groups, nyp, scalars, sweep, grp,
     @_when(sweep == 2)
     def _forces():
         rhoHS, pHS, dxsS, dysS = refs[-4], refs[-3], refs[-2], refs[-1]
-        if cache is None:
+        if cache is None or partial:
             _stage(scr[0], xC, g0, spec, R)
             _stage(scr[1], yC, g0, spec, R)
             _stage(scr[2], isfC, g0, spec, R)
             _stage(scr[3], volO, g0, spec, R)
-        else:
+        if cache is not None and not partial:
             _stage_aside(aside[1], isfC, g0, spec, R, halo=True)
             _stage_aside(aside[2], volO, g0, spec, R, halo=True)
         _stage(scr[4], vxC, g0, spec, R)
@@ -721,9 +803,9 @@ def _kernel_body(refs, *, spec, R, L, n_groups, nyp, scalars, sweep, grp,
         _stage_aside(aside[0], massC, g0, spec, R, halo=True)
         zero_accs(8)
 
-        def kbody(k, valid, carry):
+        def kbody(k, valid, carry, cached=cache is not None):
             A = pl.ds(4 * K + k, 1)
-            if cache is None:
+            if not cached:
                 af, r, ex, ey, w, dw, m1, mw = _geometry(
                     spec, k, scr[0], scr[1], scr[2], need_w=False)
                 volv = scr[3][:, :]
@@ -732,14 +814,18 @@ def _kernel_body(refs, *, spec, R, L, n_groups, nyp, scalars, sweep, grp,
                 dwvw = dwv * mw
                 vola = scr[3][A, :]
             else:
-                ck = cslot * K + k
+                ck = cslot * kc + k
                 ex = cache[0][ck, :, :]
                 ey = cache[1][ck, :, :]
                 r = cache[2][ck, :, :]
                 dwv1 = cache[3][ck, :, :]
                 dwvw = cache[4][ck, :, :]
-                af = aside[1][pl.ds(k, 1), :]
-                vola = aside[2][pl.ds(k, 1), :]
+                if partial:
+                    af = scr[2][A, :]
+                    vola = scr[3][A, :]
+                else:
+                    af = aside[1][pl.ds(k, 1), :]
+                    vola = aside[2][pl.ds(k, 1), :]
             vxa, vxv = scr[4][A, :], scr[4][:, :]
             vya, vyv = scr[5][A, :], scr[5][:, :]
             b11a, b11v = scr[6][A, :], scr[6][:, :]
@@ -821,7 +907,15 @@ def _kernel_body(refs, *, spec, R, L, n_groups, nyp, scalars, sweep, grp,
 
             return carry
 
-        _kloop(kmax, K, _k_unroll(), kbody, jnp.zeros((1, 1), fdtype))
+        if partial:
+            _kloop(jnp.minimum(kmax, kc), K, unroll,
+                   lambda k, v, c: kbody(k, v, c, cached=True),
+                   jnp.zeros((1, 1), fdtype))
+            _kloop_span(kc, kmax, K, unroll,
+                        lambda k, v, c: kbody(k, v, c, cached=False),
+                        jnp.zeros((1, 1), fdtype))
+        else:
+            _kloop(kmax, K, unroll, kbody, jnp.zeros((1, 1), fdtype))
         _flush(vx2O, acc[0], g0, spec, R, halo=True)
         _flush(vy2O, acc[1], g0, spec, R, halo=True)
         _flush(fxO, acc[2], g0, spec, R, halo=False)
@@ -837,12 +931,12 @@ def _kernel_body(refs, *, spec, R, L, n_groups, nyp, scalars, sweep, grp,
     @_when(sweep == 3)
     def _continuity():
         rhoHS, pHS, dxsS, dysS = refs[-4], refs[-3], refs[-2], refs[-1]
-        if cache is None:
+        if cache is None or partial:
             _stage(scr[0], xC, g0, spec, R)
             _stage(scr[1], yC, g0, spec, R)
             _stage(scr[2], isfC, g0, spec, R)
             _stage(scr[3], volO, g0, spec, R)
-        else:
+        if cache is not None and not partial:
             _stage_aside(aside[5], isfC, g0, spec, R, halo=True)
             _stage_aside(aside[6], xC, g0, spec, R, halo=True)
             _stage_aside(aside[7], yC, g0, spec, R, halo=True)
@@ -862,17 +956,17 @@ def _kernel_body(refs, *, spec, R, L, n_groups, nyp, scalars, sweep, grp,
         # (_BIG_X for empty slots) — a zero there would (a) teleport empty
         # slots to x=0 inside the domain for the next chunk step and
         # (b) blow up the displacement guard against the _BIG_X ref core
-        if cache is None:
+        if cache is None or partial:
             acc[3][:, :] = scr[0][4 * K:5 * K, :]
             acc[4][:, :] = scr[1][4 * K:5 * K, :]
         else:
             acc[3][:, :] = aside[6][:, :]
             acc[4][:, :] = aside[7][:, :]
 
-        def kbody(k, valid, carry):
+        def kbody(k, valid, carry, cached=cache is not None):
             A = pl.ds(4 * K + k, 1)
             kA = pl.ds(k, 1)
-            if cache is None:
+            if not cached:
                 af, r, ex, ey, w, dw, m1, mw = _geometry(
                     spec, k, scr[0], scr[1], scr[2], need_w=False)
                 volv = scr[3][:, :]
@@ -882,14 +976,19 @@ def _kernel_body(refs, *, spec, R, L, n_groups, nyp, scalars, sweep, grp,
                 xa = scr[0][A, :]
                 ya = scr[1][A, :]
             else:
-                ck = cslot * K + k
+                ck = cslot * kc + k
                 ex = cache[0][ck, :, :]
                 ey = cache[1][ck, :, :]
                 dwv1 = cache[3][ck, :, :]
                 dwvw = cache[4][ck, :, :]
-                af = aside[5][kA, :]
-                xa = aside[6][kA, :]
-                ya = aside[7][kA, :]
+                if partial:
+                    af = scr[2][A, :]
+                    xa = scr[0][A, :]
+                    ya = scr[1][A, :]
+                else:
+                    af = aside[5][kA, :]
+                    xa = aside[6][kA, :]
+                    ya = aside[7][kA, :]
             vx2a, vx2v = scr[4][A, :], scr[4][:, :]
             vy2a, vy2v = scr[5][A, :], scr[5][:, :]
             wvxv, wvyv = scr[6][:, :], scr[7][:, :]
@@ -924,7 +1023,15 @@ def _kernel_body(refs, *, spec, R, L, n_groups, nyp, scalars, sweep, grp,
 
             return carry
 
-        _kloop(kmax, K, _k_unroll(), kbody, jnp.zeros((1, 1), fdtype))
+        if partial:
+            _kloop(jnp.minimum(kmax, kc), K, unroll,
+                   lambda k, v, c: kbody(k, v, c, cached=True),
+                   jnp.zeros((1, 1), fdtype))
+            _kloop_span(kc, kmax, K, unroll,
+                        lambda k, v, c: kbody(k, v, c, cached=False),
+                        jnp.zeros((1, 1), fdtype))
+        else:
+            _kloop(kmax, K, unroll, kbody, jnp.zeros((1, 1), fdtype))
         _flush(rhoO, acc[0], g0, spec, R, halo=False)
         _flush(pO, acc[1], g0, spec, R, halo=False)
         _flush(drhoO, acc[2], g0, spec, R, halo=False)
@@ -1334,15 +1441,16 @@ def _fused_call(spec: GridSpec, cores, occ, dt, scalars):
     plain_shape = (nyp, K, nx)
 
     rows = use_rows(spec, dtype)
-    cm = "none" if rows else cache_mode(spec, dtype)
+    cm, kc = ("none", 0) if rows else cache_plan(spec, dtype)
     gc = cm != "none"
-    ring = cm == "ring"
+    ring = cm in ("ring", "partial")
     n_slots = _RING_DEPTH if ring else n_groups
     kernel = functools.partial(_step_kernel, spec=spec, R=R, L=L,
                                n_groups=n_groups, nyp=nyp,
                                scalars=scalars[:5] + (None, None, None),
                                n_cache=_N_CACHE if gc else 0, rows=rows,
-                               ring=ring)
+                               ring=ring,
+                               k_cut=kc if cm == "partial" else None)
     out_shape = ([jax.ShapeDtypeStruct(halo_shape, dtype)] * _HALO_OUT
                  + [jax.ShapeDtypeStruct(plain_shape, dtype)] * _PLAIN_OUT
                  + [jax.ShapeDtypeStruct((n_groups, L), dtype)])
@@ -1365,10 +1473,14 @@ def _fused_call(spec: GridSpec, cores, occ, dt, scalars):
                pltpu.VMEM(halo_shape, dtype),    # p_half core
                pltpu.VMEM(plain_shape, dtype),   # dx_shift core
                pltpu.VMEM(plain_shape, dtype)]   # dy_shift core
-            + ([pltpu.VMEM((n_slots * K, 9 * K, L), dtype)
+            + ([pltpu.VMEM((n_slots * kc, 9 * K, L), dtype)
                 for _ in range(_N_CACHE)] if gc else [])),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            # "partial" packs cache + working set just past the default
+            # 100 MB scoped budget (measured 101.65 MB at dp=0.005
+            # k_cut=6); the chip has 128 MB of VMEM
+            vmem_limit_bytes=(112 if cm == "partial" else 100)
+            * 1024 * 1024),
         interpret=_interpret(),
     )(*cores, occ, params)
 
@@ -1383,7 +1495,7 @@ _C_IN = 14   # xH0 yH0 vxH0 vyH0 drP0 isfC massC wvxC wvyC refxP
 _C_STATE = 5  # leading outputs: xHs yHs vxHs vyHs drPs (working state)
 
 def _chunk_kernel(*refs, spec, R, L, n_groups, nyp, scalars, n_cache=0,
-                  rows=False, ring=False):
+                  rows=False, ring=False, k_cut=None):
     """Run up to ``nsub`` whole physics steps inside ONE kernel: the state
     cores live in the output refs (VMEM) across steps, the four pair
     sweeps reuse ``_kernel_body`` verbatim, and the per-step XLA glue
@@ -1464,7 +1576,7 @@ def _chunk_kernel(*refs, spec, R, L, n_groups, nyp, scalars, n_cache=0,
                              n_groups=n_groups, nyp=nyp,
                              scalars=full_scalars, sweep=s, grp=grp,
                              dt=dt, kmax=occs[grp, 0], cache=cache,
-                             ring=ring)
+                             ring=ring, k_cut=k_cut)
 
         if ring:
             # wavefront schedule (see the ring cache-layout note): phase
@@ -1557,13 +1669,14 @@ def fused_chunk_call(spec: GridSpec, lay: FusedLayout, xH, yH, vxH, vyH,
     plain_shape = (nyp, K, nx)
     scalars = (rho0, p0, c_f, inv_sigma0, transport_coeff)
     rows = use_rows(spec, dtype)
-    cm = "none" if rows else cache_mode(spec, dtype)
+    cm, kc = ("none", 0) if rows else cache_plan(spec, dtype)
     gc = cm != "none"
-    n_slots = _RING_DEPTH if cm == "ring" else n_groups
+    n_slots = _RING_DEPTH if cm in ("ring", "partial") else n_groups
     kernel = functools.partial(_chunk_kernel, spec=spec, R=R, L=L,
                                n_groups=n_groups, nyp=nyp, scalars=scalars,
                                n_cache=_N_CACHE if gc else 0, rows=rows,
-                               ring=(cm == "ring"))
+                               ring=cm in ("ring", "partial"),
+                               k_cut=kc if cm == "partial" else None)
     params = jnp.stack([jnp.asarray(t_local, dtype),
                         jnp.asarray(t_comp, dtype),
                         jnp.asarray(interval_len, dtype),
@@ -1598,10 +1711,14 @@ def fused_chunk_call(spec: GridSpec, lay: FusedLayout, xH, yH, vxH, vyH,
                pltpu.VMEM(halo_shape, dtype),    # p_half core
                pltpu.VMEM(plain_shape, dtype),   # dx_shift core
                pltpu.VMEM(plain_shape, dtype)]   # dy_shift core
-            + ([pltpu.VMEM((n_slots * K, 9 * K, L), dtype)
+            + ([pltpu.VMEM((n_slots * kc, 9 * K, L), dtype)
                 for _ in range(_N_CACHE)] if gc else [])),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            # "partial" packs cache + working set just past the default
+            # 100 MB scoped budget (measured 101.65 MB at dp=0.005
+            # k_cut=6); the chip has 128 MB of VMEM
+            vmem_limit_bytes=(112 if cm == "partial" else 100)
+            * 1024 * 1024),
         interpret=_interpret(),
     )(xH, yH, vxH, vyH, drP, lay.isf_c, lay.mass_c, lay.wvx_c,
       lay.wvy_c, lay.refx_p, lay.refy_p, lay.occ, params, nsub)

@@ -171,7 +171,7 @@ def test_expand_exact_beyond_bf16():
     np.testing.assert_array_equal(np.asarray(out), expect)
 
 
-@pytest.mark.parametrize("mode", ["ring", "none"])
+@pytest.mark.parametrize("mode", ["ring", "none", "partial"])
 def test_geom_cache_modes_bit_identical(monkeypatch, mode):
     """"ring" (the depth-4 wavefront schedule — ops/fused_cell.cache_mode's
     dp <= 0.01 fallback whose VMEM footprint is n_groups/4 smaller) must be
@@ -181,10 +181,13 @@ def test_geom_cache_modes_bit_identical(monkeypatch, mode):
     ULP-equivalent, not bit-equal: the cache stores the dw*m1 / dw*mw
     PRODUCTS (and sweep 1's dw*Vol*mask write-back), whose association
     order differs from the recompute expression — measured 1-ULP
-    differences on <0.1% of elements over a ~20-step interval. The tall
-    domain yields 6+ row groups, so ring slots genuinely cycle (group 4
-    overwrites group 0's slot) and the wavefront ramp-up/steady/ramp-down
-    phases are all on the compared path."""
+    differences on <0.1% of elements over a ~20-step interval.
+    "partial" (rank-truncated ring: only k < k_cut cached, recompute
+    tail — the dp=0.005 fallback) is likewise ULP-equivalent on the
+    tail ranks' contributions. The tall domain yields 6+ row groups, so
+    ring slots genuinely cycle (group 4 overwrites group 0's slot) and
+    the wavefront ramp-up/steady/ramp-down phases are all on the
+    compared path."""
     import jax.numpy as jnp
 
     import sph_poiseuille_flow_tpu.ops.fused_cell as fc
@@ -209,6 +212,9 @@ def test_geom_cache_modes_bit_identical(monkeypatch, mode):
 
     monkeypatch.setenv("SPH_GEOM_CACHE", mode)
     assert fc.cache_mode(spec, jnp.float32) == mode
+    if mode == "partial":   # forced partial must genuinely split the loop
+        kc = fc.cache_plan(spec, jnp.float32)[1]
+        assert 2 <= kc < spec.K
     eng2 = PallasCellEngine(cfg, scene)   # fresh trace under the env
     s2, l2, g2, _ = eng2.init(s0)
     r2 = eng2.run_interval(s2, l2, g2, np.float32(0.005))
@@ -220,8 +226,9 @@ def test_geom_cache_modes_bit_identical(monkeypatch, mode):
         a, b = np.asarray(a), np.asarray(b)
         if mode == "ring":
             np.testing.assert_array_equal(a, b, err_msg=msg)
-        else:   # recompute: ULP-level reassociation only (p amplifies a
-            #       rho ULP by p0/rho0 = 225 -> atol covers it)
+        else:   # recompute (none / partial tail): ULP-level reassociation
+            #       only (p amplifies a rho ULP by p0/rho0 = 225 -> atol
+            #       covers it)
             np.testing.assert_allclose(a, b, rtol=1e-5, atol=5e-5,
                                        err_msg=msg)
 
@@ -241,16 +248,17 @@ def test_cache_mode_resolution_shipping_grids():
     """Pin the auto cache-mode picks at the three bench grids (the
     shipping perf configs, docs/SCALING.md): dp=0.025 fits the FULL
     per-(group, k) cache; dp=0.01 exceeds it but fits the depth-4 RING
-    (the measured +26% grid); dp=0.005's ring alone is 140 MB against
-    the 128 MB VMEM (measured Mosaic OOM at 172.7 MB with the working
-    set) so it must resolve NONE — a silent flip either way is a perf
+    (the measured +26% grid); dp=0.005's full-K ring alone is 140 MB
+    against the 128 MB VMEM (measured Mosaic OOM at 172.7 MB with the
+    working set) so it must resolve PARTIAL with a k_cut that keeps the
+    slabs under the partial budget — a silent flip either way is a perf
     or a compile regression."""
     import jax.numpy as jnp
 
     import sph_poiseuille_flow_tpu.ops.fused_cell as fc
     from sph_poiseuille_flow_tpu.config import derive_config
 
-    for dp, want in ((0.025, "full"), (0.01, "ring"), (0.005, "none")):
+    for dp, want in ((0.025, "full"), (0.01, "ring"), (0.005, "partial")):
         nx3 = round(3.0 / (3.0 * dp))
         cfg = derive_config(
             DL=3.0, DH=1.0, dp=dp, rho0=1.0, mu=0.1, U_bulk=0.666667,
@@ -259,9 +267,15 @@ def test_cache_mode_resolution_shipping_grids():
             neighbor_skin=0.3 * dp, rebuild_every=128, cell_capacity=14,
             lane_pack_nx=nx3, neighbor_capacity=56)
         eng = PallasCellEngine(cfg, build_scene(cfg))
-        assert fc.cache_mode(eng.spec, jnp.float32) == want, \
-            f"dp={dp}: cache_mode flipped from {want}"
-        if want != "none":   # budgeted estimate stays under the limit
+        mode, kc = fc.cache_plan(eng.spec, jnp.float32)
+        assert mode == want, f"dp={dp}: cache_mode flipped from {want}"
+        if want == "partial":
+            assert 2 <= kc < eng.spec.K
+            assert fc._cache_bytes(eng.spec, jnp.float32,
+                                   fc._RING_DEPTH, kc) \
+                <= fc._PARTIAL_CACHE_BUDGET
+        else:   # budgeted estimate stays under the limit
+            assert kc == eng.spec.K
             n_slots = (fc._RING_DEPTH if want == "ring"
                        else fc.plan(eng.spec)[2])
             assert fc._cache_bytes(eng.spec, jnp.float32, n_slots) \
