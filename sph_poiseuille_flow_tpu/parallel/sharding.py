@@ -237,9 +237,19 @@ class ShardedPallasEngine(PallasCellEngine):
     slab-local. Sharded-vs-single equivalence: tests/test_parallel.py."""
 
     def __init__(self, cfg: SPHConfig, scene: Scene, mesh: Mesh,
-                 ghost: int = 4):
+                 ghost: int = None):
         self.mesh = mesh
         self.n_dev = int(mesh.devices.size)
+        if ghost is None:
+            # 4 = the kernel's cross-row dependency depth (4 sweeps x
+            # 1-row stencil). A 1-device mesh needs NO ghost rows: both
+            # band edges are DOMAIN edges (walls bound y, nothing beyond),
+            # so the extended slab would only add fill-row staging cost —
+            # ghost=0 makes the --mesh 1 kernel spec identical to the
+            # single-chip plan (measured overhead 24% -> ~3%,
+            # experiments/mesh1_tpu.py). Pass ghost=4 explicitly to
+            # hardware-validate the extended-slab Mosaic compile.
+            ghost = 4 if self.n_dev > 1 else 0
         self.ghost = int(ghost)
         super().__init__(cfg, scene)
         pc = self._pc
@@ -333,7 +343,8 @@ class ShardedPallasEngine(PallasCellEngine):
         Rl, Ll, ngl, nypl = pc.plan(ls)
         n_loc_cells = rows_loc * nx
         rb = max(1, int(cfg.rebuild_every))
-        _SUB = min(rb, int(os.environ.get("SPH_SUB_STEPS", "16")))
+        _SUB = min(rb, int(os.environ.get("SPH_SUB_STEPS", "")
+                           or getattr(cfg, "sub_steps", 16)))
         _PREDICT = os.environ.get("SPH_DRIFT_PREDICTOR", "1") != "0"
         sxb = jnp.asarray(spec.skin_x, dtype)
         syb = jnp.asarray(spec.skin_y, dtype)
@@ -520,6 +531,19 @@ class ShardedPallasEngine(PallasCellEngine):
                 fills = dict(x=BIG, y=0.0, vx=0.0, vy=0.0, dr=0.0,
                              isf=0.0, mass=0.0, wvx=0.0, wvy=0.0,
                              wbot=0.0, wtop=0.0)
+                # the aux diagnostics (rho/p/vol/B/forces) must FOLLOW
+                # their particles through the re-bin: the interval-final
+                # collect scatters every slab with the POST-rebuild pid
+                # layout, so a slab left in the pre-rebuild layout would
+                # attribute aux values to whichever particle now occupies
+                # the old slot (and lose them entirely for particles that
+                # migrated slabs). Found by the round-5 hardware
+                # equivalence probe (experiments/mesh1_tpu.py): ~990-step
+                # intervals move particles between cells in the trailing
+                # group, where the short CI windows did not.
+                for k in AUX_KEYS:
+                    fields[k] = st[k]
+                    fills[k] = 0.0
                 es = {k: ext1(v, fills[k]).reshape(-1)
                       for k, v in fields.items()}
                 pid_e = ext1(pidS, n_total).reshape(-1)
@@ -598,22 +622,76 @@ class ShardedPallasEngine(PallasCellEngine):
                         jnp.logical_not(soft),
                         jnp.logical_and(done_i < rb, t_i < il))
 
+                def run_chunk(st_i, t_i, tc_i, n_sub):
+                    """n_dev == 1 fast path: both ghost bands of the one
+                    slab are DOMAIN edges (walls bound y; the band fill
+                    never decays with steps), so up to ``n_sub`` whole
+                    steps can run inside ONE chunk kernel call on the
+                    extended slab — the single-chip amortization
+                    (ops/fused_cell._chunk_kernel docstring: ~0.09 ms
+                    fixed cost per call), kept under shard_map so Mosaic
+                    still compiles the extended-slab spec. Step-for-step
+                    identical to the per-step path (the chunk kernel's dt
+                    and Kahan clock are the bit-equal twins of one_step;
+                    CI: test_parallel.py sharded-vs-single equivalence)."""
+                    x_e = ext(st_i["x"], BIG)
+                    y_e = ext(st_i["y"], 0.0)
+                    vx_e = ext(st_i["vx"], 0.0)
+                    vy_e = ext(st_i["vy"], 0.0)
+                    dr_e = ext(st_i["dr"], 0.0)
+                    cnt_cell = jnp.sum((x_e < 0.5 * BIG).astype(jnp.int32),
+                                       axis=1)
+                    occl = jnp.minimum(
+                        jnp.max(cnt_cell.reshape(ngl, Rl * nx), axis=1,
+                                keepdims=True), K).astype(jnp.int32)
+                    zero3 = jnp.zeros((nypl, K, nx), dtype)
+                    z1 = jnp.zeros((1,), jnp.int32)
+                    lay_shim = pc.FusedLayout(
+                        pidx=z1, hidx=z1, isf_c=stat_h[0],
+                        mass_c=stat_h[1], wvx_c=stat_h[2],
+                        wvy_c=stat_h[3], wbot_c=z1, wtop_c=z1,
+                        refx_p=zero3, refy_p=zero3, occ=occl,
+                        overflow=jnp.asarray(False))
+                    stC, auxC, steps_done, t2, tc2 = pc.fused_chunk_call(
+                        ls, lay_shim,
+                        pc.halo_ify(ls, x_e, fill=BIG, xshift=spec.DL),
+                        pc.halo_ify(ls, y_e), pc.halo_ify(ls, vx_e),
+                        pc.halo_ify(ls, vy_e), dr_e, t_i, tc_i, il,
+                        n_sub, *scalars)
+                    st2 = dict(
+                        x=ip(stC["xP"]), y=ip(stC["yP"]),
+                        vx=ih(stC["vxH"]), vy=ih(stC["vyH"]),
+                        dr=ip(stC["drP"]),
+                        vol=ih(auxC["volH"]), b11=ih(auxC["b11H"]),
+                        b12=ih(auxC["b12H"]), b21=ih(auxC["b21H"]),
+                        b22=ih(auxC["b22H"]), rho=ip(auxC["rhoP"]),
+                        p=ip(auxC["pP"]), fx=ip(auxC["fxP"]),
+                        fy=ip(auxC["fyP"]), fpx=ip(auxC["fpxP"]),
+                        fpy=ip(auxC["fpyP"]),
+                        cnt=auxC["cnt"].reshape(ngl * Rl, nx)
+                        [Gh:Gh + rows_loc])
+                    return steps_done, st2, t2, tc2
+
                 def sub_body(sc):
                     st_i, t_i, tc_i, done_i, soft, grd, bp, nrb, slen = sc
                     n_sub = jnp.minimum(
                         slen, jnp.asarray(rb, jnp.int32) - done_i)
 
-                    def scond(c):
-                        i, s, t_c, tc_c = c
-                        return jnp.logical_and(i < n_sub, t_c < il)
+                    if n_dev == 1:
+                        steps_done, st2, t2, tc2 = run_chunk(
+                            st_i, t_i, tc_i, n_sub)
+                    else:
+                        def scond(c):
+                            i, s, t_c, tc_c = c
+                            return jnp.logical_and(i < n_sub, t_c < il)
 
-                    def sbody(c):
-                        i, s, t_c, tc_c = c
-                        s2, t2, tc2 = one_step(s, stat_h, t_c, tc_c)
-                        return (i + 1, s2, t2, tc2)
+                        def sbody(c):
+                            i, s, t_c, tc_c = c
+                            s2, t2, tc2 = one_step(s, stat_h, t_c, tc_c)
+                            return (i + 1, s2, t2, tc2)
 
-                    steps_done, st2, t2, tc2 = jax.lax.while_loop(
-                        scond, sbody, (zi, st_i, t_i, tc_i))
+                        steps_done, st2, t2, tc2 = jax.lax.while_loop(
+                            scond, sbody, (zi, st_i, t_i, tc_i))
                     if spec.skin > 0.0:
                         bx, by = drift_bounds(st2, refxS, refyS, isfS)
                         trip = jnp.logical_or(bx > sxb, by > syb)
@@ -662,7 +740,7 @@ class ShardedPallasEngine(PallasCellEngine):
                 new, pid_n, ovf, jumped = local_rebuild(
                     st, pidS, isfS, massS, wvxS, wvyS, wbotS, wtopS)
                 st_next = dict(st)
-                for k in ("x", "y", "vx", "vy", "dr"):
+                for k in ("x", "y", "vx", "vy", "dr") + AUX_KEYS:
                     st_next[k] = new[k]
                 ovf_all = jax.lax.pmax(ovf.astype(jnp.int32), AXIS) > 0
                 jump_all = jax.lax.pmax(jumped.astype(jnp.int32),

@@ -66,7 +66,12 @@ class Simulation:
         self.paths = paths or SimulationPaths()
         self.log = log
         self.scene: Scene = build_scene(cfg)
-        if mesh_devices is not None and mesh_devices > 1:
+        if mesh_devices is not None and mesh_devices >= 1:
+            # mesh_devices == 1 still instantiates the SHARDED engine (a
+            # 1-device shard_map): the only way to compile the slab-local
+            # chunked loop under Mosaic on a single real chip — the
+            # hardware-validation path for the multi-chip runtime
+            # (docs/SCALING.md "sharded flagship on hardware")
             self.engine = self._make_sharded_engine(mesh_devices)
         else:
             self.engine = make_engine(cfg, self.scene)

@@ -282,7 +282,7 @@ def _tall_pallas_cfg(**kw):
     return default_cfg(**base)
 
 
-@pytest.mark.parametrize("n_dev", [2, 4, 8])
+@pytest.mark.parametrize("n_dev", [1, 2, 4, 8])
 def test_sharded_pallas_chunked_matches_single_chunked(n_dev):
     """The CHUNKED sharded interval loop (parallel/sharding.py
     _chunked_interval: per-step ppermute ghost bands, slab-LOCAL
@@ -306,7 +306,10 @@ def test_sharded_pallas_chunked_matches_single_chunked(n_dev):
     r1 = single.run_interval(s1, l1, g1, np.float32(0.02))
 
     sharded = ShardedPallasEngine(cfg, scene, make_mesh(n_dev))
-    if n_dev in (2, 4):
+    if n_dev in (1, 2, 4):
+        # n_dev=1: ghost resolves to 0 (domain-edge bands) and the loop
+        # takes the in-kernel CHUNK fast path (run_chunk) — the --mesh 1
+        # hardware-validation configuration (experiments/mesh1_tpu.py)
         assert not sharded._gather_mode
     else:
         assert sharded._gather_mode
@@ -358,6 +361,45 @@ def test_sharded_pallas_chunked_rollback_matches_single(monkeypatch):
         np.testing.assert_array_equal(
             np.asarray(getattr(r2.state, name)),
             np.asarray(getattr(r1.state, name)), err_msg=name)
+
+
+def test_sharded_chunked_aux_attribution_long_window():
+    """Round-5 hardware-probe regression (experiments/mesh1_tpu.py,
+    MESH1_TPU_r05.json): the interval-final collect must attribute the
+    aux diagnostics (rho/p/vol/B/forces -> and through them the
+    wall-shear monitor) to the RIGHT particles even when the trailing
+    sub-chunk group moves particles between cells — which requires
+    local_rebuild to re-bin the aux slabs along with the state (a slab
+    left in the pre-rebuild layout scrambles every migrated particle's
+    diagnostics). Short windows rarely migrate anyone, so this runs a
+    longer window with a faster bulk flow and asserts FULL-state
+    equality including tau."""
+    from sph_poiseuille_flow_tpu.parallel import ShardedPallasEngine
+    from sph_poiseuille_flow_tpu.stepper import PallasCellEngine
+
+    # faster flow => more inter-cell churn per step; small rebuild_every
+    # => many trailing-group layouts to get wrong
+    cfg = _tall_pallas_cfg(U_bulk=2.0, end_time=0.3, output_interval=0.15,
+                           rebuild_every=4)
+    scene = build_scene(cfg)
+
+    single = PallasCellEngine(cfg, scene)
+    s0 = initial_state(cfg, scene)
+    s1, l1, g1, _ = single.init(s0)
+    sharded = ShardedPallasEngine(cfg, scene, make_mesh(2))
+    s2, l2, g2, _ = sharded.init(s0)
+
+    for _ in range(2):  # two intervals: the second starts from collected
+        r1 = single.run_interval(s1, l1, g1, np.float32(0.05))
+        r2 = sharded.run_interval(s2, l2, g2, 0.05)
+        s1, l1, g1 = r1.state, r1.cands, r1.geom
+        s2, l2, g2 = r2.state, r2.cands, r2.geom
+        for name in State._fields:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(r2.state, name)),
+                np.asarray(getattr(r1.state, name)), err_msg=name)
+        assert float(r2.tau_bottom) == float(r1.tau_bottom)
+        assert float(r2.tau_top) == float(r1.tau_top)
 
 
 def test_sharded_pallas_chunked_halo_locality():
