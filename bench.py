@@ -1,12 +1,19 @@
-"""Benchmark: particle-steps/sec at dp=0.025 (BASELINE.json metric).
+"""Benchmark: particle-steps/sec at dp=0.025 (BASELINE.json metric),
+plus secondary metrics at dp=0.01 / dp=0.005 (the geometry-cache scales).
 
 Runs the high-res preset (DL=3, DH=1, dp=0.025 -> 4800 fluid particles) on
 the default JAX device: warms up/compiles one short interval, then times
-full output intervals of the on-device stepping loop.
+full output intervals of the on-device stepping loop. On TPU the same
+protocol then repeats at dp=0.01 (ring geometry cache, 30,000 fluid) and
+dp=0.005 (partial ring cache, 120,000 fluid), each against its own
+MATCHED-SCALE serial-oracle denominator (BASELINE.md / docs/SCALING.md
+margin table) — so the multi-scale perf story is a driver-captured
+artifact, not a docs table.
 
 Prints ONE JSON line:
   {"metric": "particle_steps_per_sec_dp0.025", "value": N,
-   "unit": "particle-steps/sec", "vs_baseline": N, "vs_r2_recorded": N}
+   "unit": "particle-steps/sec", "vs_baseline": N, "vs_r2_recorded": N,
+   "secondary": [{"metric": ..._dp0.01, ...}, {..._dp0.005, ...}]}
 
 ``value`` is the best single timed interval of ``n_timed_intervals``
 (each ~1000 full steps incl. rebuilds/guards) — symmetric with the
@@ -14,15 +21,17 @@ denominator's best-of-5 methodology; this tunneled VM shows steal time,
 so mean-of-intervals folds host contention into the device number. All
 per-interval times are printed to stderr.
 
-``vs_baseline`` is value / REF_BASELINE_PSPS. The reference publishes no
-throughput numbers (BASELINE.json published: {}), so the denominator is a
-MEASUREMENT of this repo's native C++ executor of the reference semantics
-(native/sph_oracle.cpp: store-once pair list rebuilt every step + the full
-per-step pipeline of SPH_Poiseuille.m:254-283, float64) at the same scale
-on this host: dp=0.025, 4800 fluid particles, 4.58 ms/step => 1.05e6
-particle-steps/sec (experiments/time_oracle.py, 2026-08-18, best of 5
-quiet-host runs — this CORRECTS the round-2 record of 3.443e5, a single
-run taken under CPU contention; see BASELINE.md measurement-history note).
+``vs_baseline`` is value / the matched-scale denominator. The reference
+publishes no throughput numbers (BASELINE.json published: {}), so each
+denominator is a MEASUREMENT of this repo's native C++ executor of the
+reference semantics (native/sph_oracle.cpp: store-once pair list rebuilt
+every step + the full per-step pipeline of SPH_Poiseuille.m:254-283,
+float64) at the same scale on this host (experiments/time_oracle.py,
+2026-08-18, best of 5 quiet-host runs; the dp=0.025 value CORRECTS the
+round-2 record of 3.443e5 taken under CPU contention — see BASELINE.md
+measurement-history note): dp=0.025 -> 1.05e6, dp=0.01 -> 7.01e5,
+dp=0.005 -> 7.29e5 particle-steps/sec (the oracle's own throughput FALLS
+with problem size, cache-miss regime).
 Caveats recorded in BASELINE.md: this host exposes a single CPU core, but
 the reference's own multicore headroom is Amdahl-bounded at ~2.3x by its
 serial per-step neighbor rebuild (measured phase split, BASELINE.md).
@@ -37,7 +46,9 @@ import time
 
 import numpy as np
 
-REF_BASELINE_PSPS = 1.05e6  # measured: experiments/time_oracle.py (2026-08-18)
+# Matched-scale serial-oracle denominators (psteps/s), measured:
+# experiments/time_oracle.py (2026-08-18, best of 5 quiet-host runs)
+REF_BASELINE_PSPS = {0.025: 1.05e6, 0.01: 7.01e5, 0.005: 7.29e5}
 # The round-2 BENCH record divided by the 2026-08-16 single-run measurement
 # (3.443e5 psteps/s), later found contention-inflated (BASELINE.md
 # measurement-history). vs_baseline uses the CORRECTED denominator; the
@@ -46,8 +57,8 @@ REF_BASELINE_PSPS = 1.05e6  # measured: experiments/time_oracle.py (2026-08-18)
 R2_RECORDED_PSPS = 3.443e5
 
 
-def main(dp: float = 0.025, n_timed_intervals: int = 5,
-         interval: float = 0.5) -> dict:
+def measure(dp: float, n_timed_intervals: int = 5, interval: float = 0.5,
+            n_warm: int = 5) -> dict:
     from sph_poiseuille_flow_tpu import (
         build_scene, derive_config, initial_state, make_engine)
 
@@ -72,14 +83,16 @@ def main(dp: float = 0.025, n_timed_intervals: int = 5,
         # Pallas kernels would run orders slower in interpret mode).
         engine="auto",
         # Shipping fused-grid config (docs/SCALING.md): lane-packed
-        # nx=40 puts cell_x at 3dp exactly, so a cell's pristine window
-        # holds 3 lattice columns (occupancy 9; the full 20 s run peaks
-        # at 12 under developed-flow compression) and K=14 fits with
-        # margin — vs K=18 at the cost-model's nx=32 pick. Candidate
-        # reuse runs on the pair-relative drift guard: rebuild_every
-        # only caps the adaptive chunk length; the predictive soft-stop
-        # (stepper.py) schedules rebuilds from the measured drift rate
-        # (transient: ~6 steps; developed flow: 20+ steps).
+        # cell_x = 3dp exactly, so a cell's pristine window holds 3
+        # lattice columns (occupancy 9; the full 20 s run peaks at 12
+        # under developed-flow compression) and K=14 fits with margin —
+        # vs K=18 at the cost-model's square-cell pick. Candidate reuse
+        # runs on the pair-relative drift guard: rebuild_every only caps
+        # the adaptive chunk length; the predictive soft-stop (stepper.py)
+        # schedules rebuilds from the measured drift rate (transient: ~6
+        # steps; developed flow: 20+ steps). The geometry cache resolves
+        # per scale (cache_plan): full at dp=0.025, ring at dp=0.01,
+        # partial ring at dp=0.005.
         neighbor_skin=(0.3 if on_tpu else 0.75) * dp,
         rebuild_every=128 if on_tpu else 8,
         cell_capacity=14 if lane_nx else 18,
@@ -97,7 +110,7 @@ def main(dp: float = 0.025, n_timed_intervals: int = 5,
     # steps while developed flow stretches chunks to 20+ steps. (Off-TPU
     # the cellgrid engine rebuilds on a fixed cadence — no transient
     # effect — so one compile interval suffices.)
-    for _ in range(5 if on_tpu else 1):
+    for _ in range(n_warm if on_tpu else 1):
         res = engine.run_interval(state, cands, geom, np.float32(interval))
         jax.block_until_ready(res.state.x)
         state, cands, geom = res.state, res.cands, res.geom
@@ -105,7 +118,7 @@ def main(dp: float = 0.025, n_timed_intervals: int = 5,
     # Time each interval separately and report the BEST one — symmetric
     # with the denominator's methodology (BASELINE.md: the CPU oracle is
     # the best of 5 quiet-host runs, because this VM shows steal time and
-    # one measured 3x contention outlier). Each interval is ~1000 full
+    # one measured 3x contention outlier). Each interval is ~1000+ full
     # steps incl. rebuilds/guards — a sustained measure, not a burst (the
     # oracle's own window was 200-300 steps). Per-interval numbers go to
     # stderr for the variance record.
@@ -122,31 +135,52 @@ def main(dp: float = 0.025, n_timed_intervals: int = 5,
         assert not bool(res.skin_guard), "skin displacement guard tripped"
 
     for i, (p, s, e) in enumerate(per_interval):
-        print(f"# interval {i}: {s} steps in {e:.3f}s = {p:.3e} psteps/s",
-              file=sys.stderr)
+        print(f"# dp={dp:g} interval {i}: {s} steps in {e:.3f}s = "
+              f"{p:.3e} psteps/s", file=sys.stderr)
     psps, steps, elapsed = max(per_interval)
     # intervals differ in real work (the drift-adaptive rebuild cadence
     # stretches as flow develops), so the mean and the full per-interval
     # list ride the JSON record alongside the best — the variance stays
     # in the machine-readable artifact, not only in stderr
     mean_psps = float(np.mean([p for p, _, _ in per_interval]))
+    denom = REF_BASELINE_PSPS[dp]
     out = {
         "metric": f"particle_steps_per_sec_dp{dp:g}",
         "value": round(psps, 1),
         "unit": "particle-steps/sec",
-        "vs_baseline": round(psps / REF_BASELINE_PSPS, 3),
+        "vs_baseline": round(psps / denom, 3),
         "mean_value": round(mean_psps, 1),
-        "mean_vs_baseline": round(mean_psps / REF_BASELINE_PSPS, 3),
+        "mean_vs_baseline": round(mean_psps / denom, 3),
         "intervals": [round(p, 1) for p, _, _ in per_interval],
-        "vs_r2_recorded": round(psps / R2_RECORDED_PSPS, 3),
     }
-    print(json.dumps(out))
     tot_steps = sum(s for _, s, _ in per_interval)
     tot_elapsed = sum(e for _, _, e in per_interval)
-    print(f"# best interval: {steps} steps in {elapsed:.3f}s; total timed: "
-          f"{tot_steps} steps x {scene.n_fluid} fluid particles in "
-          f"{tot_elapsed:.3f}s on {jax.devices()[0].platform}",
-          file=sys.stderr)
+    print(f"# dp={dp:g} best interval: {steps} steps in {elapsed:.3f}s; "
+          f"total timed: {tot_steps} steps x {scene.n_fluid} fluid "
+          f"particles in {tot_elapsed:.3f}s on "
+          f"{jax.devices()[0].platform}", file=sys.stderr)
+    return out
+
+
+def main() -> dict:
+    import jax
+    on_tpu = jax.default_backend() == "tpu"
+
+    # primary metric: dp=0.025, unchanged protocol since round 2 (series
+    # continuity across BENCH_r0N.json)
+    out = measure(0.025)
+    out["vs_r2_recorded"] = round(out["value"] / R2_RECORDED_PSPS, 3)
+
+    # secondary metrics: the geometry-cache scales (ring at dp=0.01,
+    # partial ring at dp=0.005 — docs/SCALING.md margin table), each vs
+    # its own matched-scale oracle denominator. TPU only: off-TPU the
+    # fused engine (and its caches) doesn't run, so the numbers would
+    # measure the wrong engine.
+    if on_tpu:
+        out["secondary"] = [measure(0.01, n_timed_intervals=3),
+                            measure(0.005, n_timed_intervals=3)]
+
+    print(json.dumps(out))
     return out
 
 

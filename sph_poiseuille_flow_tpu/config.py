@@ -148,6 +148,23 @@ class SPHConfig:
     # log line (step/dt/vmax/tau, SPH_Poiseuille.m:285-291) from inside the
     # device loop via jax.debug.print — costs host syncs, debugging only
     step_log_every: int = 0
+    # --- fused-engine perf knobs (defaults == the auto behavior every
+    # validated run shipped with; env vars SPH_GEOM_CACHE / SPH_GEOM_KCUT /
+    # SPH_SUB_STEPS / SPH_FUSED_ROWS / SPH_CELLY_MARGIN still override for
+    # probing, so a config file + command line fully reproduces a run) ---
+    geom_cache: str = "auto"        # geometry-cache layout: auto (VMEM
+    #                               cost model picks full/ring/partial/
+    #                               none) | full | ring | partial | none
+    geom_kcut: int = 0              # cached anchor ranks for "partial"
+    #                               (0 = auto-fit to the VMEM budget)
+    sub_steps: int = 16             # steps per fused chunk kernel call
+    #                               (amortizes ~0.13 ms fixed call cost;
+    #                               capped by rebuild_every)
+    fused_rows: str = "auto"        # k-loop order: auto | "1" row-outer |
+    #                               "0" slab-outer (see fused_cell.use_rows)
+    celly_margin: float = 0.06      # lane-pack cell_y lattice-aliasing
+    #                               margin, in dp units (compression
+    #                               tolerance of the occupancy bound)
 
     @property
     def signature(self) -> str:

@@ -389,14 +389,18 @@ def use_geom_cache(spec: GridSpec, dtype) -> bool:
 def cache_plan(spec: GridSpec, dtype) -> tuple:
     """Resolve the geometry-cache layout: ("full"|"ring"|"partial"|"none",
     k_cut) with k_cut = number of cached anchor ranks (== K except for
-    "partial"). SPH_GEOM_CACHE overrides the mode for probing
-    (auto|full|ring|partial|none|0); SPH_GEOM_KCUT overrides k_cut."""
+    "partial"). The mode comes from ``spec.geom_cache`` / ``spec.geom_kcut``
+    (the SPHConfig knobs riding the spec); env vars SPH_GEOM_CACHE
+    (auto|full|ring|partial|none|0) and SPH_GEOM_KCUT still override for
+    probing."""
     import os
     K = spec.K
-    env = os.environ.get("SPH_GEOM_CACHE", "auto")
+    env = (os.environ.get("SPH_GEOM_CACHE", "")
+           or getattr(spec, "geom_cache", "auto"))
 
     def partial_kcut():
-        kc = int(os.environ.get("SPH_GEOM_KCUT", "0"))
+        kc = (int(os.environ.get("SPH_GEOM_KCUT", "0"))
+              or int(getattr(spec, "geom_kcut", 0)))
         if kc <= 0:
             kc = K - 1
             while kc >= 2 and _cache_bytes(
@@ -507,10 +511,12 @@ def _maskv(valid, v):
 # shipping grid), "rows" = candidate-row-outer (each slab row is
 # streamed ONCE per sweep as a (1, L) load and computed against ALL K
 # anchor ranks held in registers as (K, L) values; reductions become
-# register-resident accumulator adds). Env override SPH_FUSED_ROWS=0/1.
+# register-resident accumulator adds). Config knob SPHConfig.fused_rows
+# (riding spec.fused_rows); env override SPH_FUSED_ROWS=0/1.
 def use_rows(spec: GridSpec, dtype) -> bool:
     import os
-    v = os.environ.get("SPH_FUSED_ROWS", "auto")
+    v = (os.environ.get("SPH_FUSED_ROWS", "")
+         or getattr(spec, "fused_rows", "auto"))
     if v == "1":
         return True
     if v == "0":

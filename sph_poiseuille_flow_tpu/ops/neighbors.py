@@ -67,6 +67,13 @@ class GridSpec:
     y0: float            # grid origin in y
     K: int               # per-cell capacity
     C: int               # compacted per-particle candidate capacity
+    # fused-engine knob plumbing (SPHConfig.geom_cache/geom_kcut/
+    # fused_rows ride the spec so trace-time layout decisions deep in
+    # ops/fused_cell.py see them without threading cfg through every
+    # kernel wrapper; env vars still override at the decision point)
+    geom_cache: str = "auto"
+    geom_kcut: int = 0
+    fused_rows: str = "auto"
 
     @property
     def n_cells(self) -> int:
@@ -212,8 +219,9 @@ def make_grid_spec(cfg, scene, wall_margin: float = 0.0,
         # OVERFLOWED a K=15 cell at t~3.5 of the dp=0.025 run), so keep
         # 2%: margin = 0.06dp at m=3.
         m = math.floor(cand_cutoff / cfg.dp) + 1
-        grown = (m - float(os.environ.get("SPH_CELLY_MARGIN", "0.06"))) \
-            * cfg.dp
+        margin = float(os.environ.get("SPH_CELLY_MARGIN", "")
+                       or getattr(cfg, "celly_margin", 0.06))
+        grown = (m - margin) * cfg.dp
         if grown > cell_y:
             cell_y = grown
     # Static y extent: walls are immobile; fluid is confined to the channel.
@@ -229,6 +237,9 @@ def make_grid_spec(cfg, scene, wall_margin: float = 0.0,
         h=cfg.h, cutoff=cutoff, cand_cutoff=cand_cutoff,
         skin=cfg.neighbor_skin, nx=nx, ny=ny, cell_x=cell_x, cell_y=cell_y,
         y0=y0, K=cfg.cell_capacity, C=cfg.neighbor_capacity,
+        geom_cache=str(getattr(cfg, "geom_cache", "auto")),
+        geom_kcut=int(getattr(cfg, "geom_kcut", 0)),
+        fused_rows=str(getattr(cfg, "fused_rows", "auto")),
     )
 
 

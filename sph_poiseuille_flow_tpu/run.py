@@ -53,6 +53,27 @@ def main(argv=None) -> int:
                              "model pick; integer cell_x/dp ratios drop a "
                              "full lattice column of pristine occupancy, "
                              "admitting a smaller --cell-capacity)")
+    parser.add_argument("--geom-cache", default="auto",
+                        choices=["auto", "full", "ring", "partial", "none"],
+                        help="fused-engine geometry-cache layout (auto = "
+                             "VMEM cost model picks; SPH_GEOM_CACHE env "
+                             "still overrides for probing)")
+    parser.add_argument("--geom-kcut", type=int, default=0,
+                        help="cached anchor ranks for --geom-cache partial "
+                             "(0 = auto-fit to the scoped VMEM budget)")
+    parser.add_argument("--sub-steps", type=int, default=16,
+                        help="steps per fused chunk kernel call (amortizes "
+                             "the fixed call cost; capped by "
+                             "--rebuild-every)")
+    parser.add_argument("--fused-rows", default="auto",
+                        choices=["auto", "0", "1"],
+                        help="fused k-loop order: 1 = candidate-row-outer, "
+                             "0 = anchor-rank-outer, auto = measured "
+                             "default")
+    parser.add_argument("--celly-margin", type=float, default=0.06,
+                        help="lane-pack cell_y lattice-aliasing margin in "
+                             "dp units (the occupancy bound's compression "
+                             "tolerance)")
     parser.add_argument("--step-log-every", type=int, default=0,
                         help="emit the reference's per-step log line every "
                              "N steps from inside the device loop "
@@ -133,7 +154,10 @@ def main(argv=None) -> int:
             cell_capacity=args.cell_capacity, lane_pack_nx=args.lane_pack_nx,
             neighbor_skin=args.neighbor_skin, rebuild_every=args.rebuild_every,
             wall_visc_factor=wall_visc_factor,
-            step_log_every=args.step_log_every, ini_overrides=ini_overrides)
+            step_log_every=args.step_log_every,
+            geom_cache=args.geom_cache, geom_kcut=args.geom_kcut,
+            sub_steps=args.sub_steps, fused_rows=args.fused_rows,
+            celly_margin=args.celly_margin, ini_overrides=ini_overrides)
     except ConfigError as e:
         parser.error(str(e))
     if args.sweep_mus:

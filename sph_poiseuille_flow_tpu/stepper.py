@@ -717,8 +717,10 @@ class PallasCellEngine(CellEngine):
         # the PREDICTIVE stop below keeps one sub-chunk of drift from
         # overshooting the budget. 16 measured best (32 halves call
         # overhead but doubles the drift-check granularity the predictor
-        # must cover); SPH_SUB_STEPS overrides for probing.
-        _SUB = min(rb, int(os.environ.get("SPH_SUB_STEPS", "16")))
+        # must cover); config knob cfg.sub_steps, SPH_SUB_STEPS env
+        # override for probing.
+        _SUB = min(rb, int(os.environ.get("SPH_SUB_STEPS", "")
+                           or getattr(cfg, "sub_steps", 16)))
         # probe/testing knob: 0 disables the predictive soft-stop and the
         # consumed-fraction floor so every group runs to a genuine budget
         # crossing — exercises the rollback path deterministically

@@ -174,3 +174,55 @@ class TestLoadConfigOverrides:
         with pytest.raises(ConfigError, match="unknown section"):
             load_config(self._write_ini(tmp_path),
                         ini_overrides={"engine": {"rebuild_every": 8}})
+
+
+class TestPerfKnobThreading:
+    """The fused-engine perf knobs are first-class config (round-5): a
+    validated configuration is reproducible from config file + CLI alone.
+    geom_cache/geom_kcut/fused_rows ride GridSpec into the trace-time
+    layout decisions (ops/fused_cell.cache_plan / use_rows); env vars
+    keep override power for probing."""
+
+    def _spec(self, **cfg_kw):
+        from sph_poiseuille_flow_tpu.models.poiseuille import build_scene
+        from sph_poiseuille_flow_tpu.ops import neighbors as nbr
+        cfg = default_cfg(dp=0.05, **cfg_kw)
+        return nbr.make_grid_spec(cfg, build_scene(cfg))
+
+    def test_knobs_ride_the_grid_spec(self):
+        spec = self._spec(geom_cache="ring", geom_kcut=4, fused_rows="1")
+        assert (spec.geom_cache, spec.geom_kcut, spec.fused_rows) == \
+            ("ring", 4, "1")
+
+    def test_cache_plan_honors_config_knob(self, monkeypatch):
+        from sph_poiseuille_flow_tpu.ops import fused_cell as fc
+        monkeypatch.delenv("SPH_GEOM_CACHE", raising=False)
+        spec = self._spec(geom_cache="none")
+        assert fc.cache_plan(spec, "float32") == ("none", 0)
+        spec = self._spec(geom_cache="ring")
+        assert fc.cache_plan(spec, "float32")[0] == "ring"
+
+    def test_env_still_overrides_config(self, monkeypatch):
+        from sph_poiseuille_flow_tpu.ops import fused_cell as fc
+        spec = self._spec(geom_cache="ring")
+        monkeypatch.setenv("SPH_GEOM_CACHE", "none")
+        assert fc.cache_plan(spec, "float32") == ("none", 0)
+
+    def test_use_rows_honors_config_knob(self, monkeypatch):
+        from sph_poiseuille_flow_tpu.ops import fused_cell as fc
+        monkeypatch.delenv("SPH_FUSED_ROWS", raising=False)
+        assert fc.use_rows(self._spec(fused_rows="1"), "float32") is True
+        assert fc.use_rows(self._spec(fused_rows="0"), "float32") is False
+
+    def test_cli_flags_reach_the_config(self, tmp_path):
+        import argparse
+        from sph_poiseuille_flow_tpu.config import load_config
+        p = tmp_path / "config.ini"
+        p.write_text(DEFAULT_INI)
+        cfg = load_config(str(p), geom_cache="partial", geom_kcut=6,
+                          sub_steps=8, fused_rows="0", celly_margin=0.02)
+        assert cfg.geom_cache == "partial"
+        assert cfg.geom_kcut == 6
+        assert cfg.sub_steps == 8
+        assert cfg.fused_rows == "0"
+        assert cfg.celly_margin == pytest.approx(0.02)
