@@ -165,6 +165,18 @@ class SPHConfig:
     celly_margin: float = 0.06      # lane-pack cell_y lattice-aliasing
     #                               margin, in dp units (compression
     #                               tolerance of the occupancy bound)
+    max_steps_per_dispatch: int = 0  # split each output interval into
+    #                               device calls of at most N steps
+    #                               (0 = one call per interval).
+    #                               TRAJECTORY-PRESERVING: the Kahan
+    #                               interval clock carries across calls
+    #                               and the dt remainder clamp fires only
+    #                               at the true output point, so the
+    #                               split run is bit-identical to the
+    #                               unsplit one. Use when one interval's
+    #                               single dispatch would exceed the
+    #                               device deadline (the tunneled TPU
+    #                               kills dispatches past ~60 s)
 
     @property
     def signature(self) -> str:

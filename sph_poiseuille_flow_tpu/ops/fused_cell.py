@@ -45,6 +45,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import NamedTuple
 
 import jax
@@ -61,8 +62,17 @@ def _interpret() -> bool:
 
 def plan(spec: GridSpec):
     """(R, L, n_groups, nyp): pack R cell rows per program so L = R*nx
-    fills 128-lane vregs well; minimize padded-lane work."""
+    fills 128-lane vregs well; minimize padded-lane work. SPH_PLAN_R
+    overrides R (probing lever: a smaller R shrinks the lane width L and
+    with it every per-(group, k) cache slot, letting the full-K ring
+    cache fit VMEM at scales where the cost-model R busts the budget —
+    the round-5 dp=0.005 shape probe, docs/SCALING.md)."""
     nx, ny = spec.nx, spec.ny
+    forced = int(os.environ.get("SPH_PLAN_R", "0"))
+    if forced > 0:
+        R = min(forced, 8)
+        n_groups = -(-ny // R)
+        return R, R * nx, n_groups, R * n_groups
     best = None
     for R in range(1, 9):
         L = R * nx

@@ -74,6 +74,14 @@ def main(argv=None) -> int:
                         help="lane-pack cell_y lattice-aliasing margin in "
                              "dp units (the occupancy bound's compression "
                              "tolerance)")
+    parser.add_argument("--max-steps-per-dispatch", type=int, default=0,
+                        help="split each output interval into device "
+                             "calls of at most N steps (0 = one call per "
+                             "interval). Trajectory-preserving: bit-"
+                             "identical to the unsplit run — use when one "
+                             "interval would exceed the device dispatch "
+                             "deadline (tunneled TPUs kill calls past "
+                             "~60 s)")
     parser.add_argument("--step-log-every", type=int, default=0,
                         help="emit the reference's per-step log line every "
                              "N steps from inside the device loop "
@@ -157,7 +165,9 @@ def main(argv=None) -> int:
             step_log_every=args.step_log_every,
             geom_cache=args.geom_cache, geom_kcut=args.geom_kcut,
             sub_steps=args.sub_steps, fused_rows=args.fused_rows,
-            celly_margin=args.celly_margin, ini_overrides=ini_overrides)
+            celly_margin=args.celly_margin,
+            max_steps_per_dispatch=args.max_steps_per_dispatch,
+            ini_overrides=ini_overrides)
     except ConfigError as e:
         parser.error(str(e))
     if args.sweep_mus:

@@ -163,6 +163,60 @@ class Simulation:
         self.log(f"Restart: resuming from t={self.t:.6f}, step={self.step}.")
         return state
 
+    def _dispatch_interval(self, state, cands, geom, interval, fdtype):
+        """Run one output interval: a single device call by default, or —
+        when ``cfg.max_steps_per_dispatch > 0`` — a sequence of
+        step-bounded calls that reproduces the single-call trajectory
+        BIT-FOR-BIT (the engines carry the interval-local Kahan clock
+        across calls and clamp dt only at the true output point; CI:
+        tests/test_stepper.py split-vs-unsplit). This is how intervals
+        whose single dispatch would exceed the device deadline (~60 s on
+        the tunneled TPU) run without changing the trajectory the way
+        shrinking output_interval would (the reference's remainder-clamp
+        semantics, SPH_Poiseuille.m:250,259,267, land a clamped dt on
+        every output point). With in-loop step logging only the LAST
+        sub-dispatch's ring buffer is drained."""
+        msd = int(getattr(self.cfg, "max_steps_per_dispatch", 0) or 0)
+        if msd > 0 and getattr(self.engine, "mesh", None) is not None:
+            raise RuntimeError(
+                "max_steps_per_dispatch is a single-chip scale lever "
+                "(the sharded engines already bound per-dispatch work "
+                "by the slab decomposition); run without --mesh")
+        if msd <= 0:
+            res = self.engine.run_interval(
+                state, cands, geom, fdtype.type(interval),
+                t_base=fdtype.type(self.t), step_base=np.int32(self.step))
+            return res, int(res.n_steps)
+        il = fdtype.type(interval)
+        t_loc = fdtype.type(0.0)
+        t_cmp = fdtype.type(0.0)
+        total = 0
+        n_roll = 0
+        sub_len = None
+        while True:
+            kw = {} if sub_len is None else {"sub_len0": sub_len}
+            res = self.engine.run_interval(
+                state, cands, geom, il,
+                t_base=fdtype.type(self.t),
+                step_base=np.int32(self.step + total),
+                max_steps=np.int32(msd), t_local0=t_loc, t_comp0=t_cmp,
+                steps_done0=np.int32(total), **kw)
+            k = int(res.n_steps)
+            total += k
+            if res.sub_len is not None:
+                sub_len = res.sub_len
+            if res.n_rollbacks is not None:
+                n_roll += int(res.n_rollbacks)
+            state, cands, geom = res.state, res.cands, res.geom
+            t_loc, t_cmp = res.t_local, res.t_comp
+            if bool(res.overflow) or bool(res.skin_guard):
+                break  # surface the flag at the interval level, fail fast
+            if float(t_loc) >= float(il) or k == 0:
+                break
+        if res.n_rollbacks is not None:
+            res = res._replace(n_rollbacks=np.int32(n_roll))
+        return res, total
+
     # ---- main entry ----
     def run(self) -> dict:
         cfg = self.cfg
@@ -204,22 +258,23 @@ class Simulation:
             interval = target - self.t
             t0 = time.perf_counter()
             try:
-                res = self.engine.run_interval(
-                    state, cands, geom, fdtype.type(interval),
-                    t_base=fdtype.type(self.t), step_base=np.int32(self.step))
-                n_steps = int(res.n_steps)
+                res, n_steps = self._dispatch_interval(
+                    state, cands, geom, interval, fdtype)
             except jax.errors.JaxRuntimeError as e:
                 # runtime (device/dispatch) failures only — anything else
                 # (tracing errors, user bugs) propagates untouched
                 if "UNAVAILABLE" in str(e) and "device error" in str(e):
                     raise RuntimeError(
-                        "the device rejected a long-running dispatch (one "
-                        "output interval runs as a single device call; "
-                        "tunneled TPU attachments kill calls past ~60 s). "
-                        f"Interval ending t={target:.6f} was "
-                        f"{interval:.4g} s of simulated time — reduce "
-                        "output_interval so one interval stays well under "
-                        "the dispatch deadline.") from e
+                        "the device rejected a long-running dispatch "
+                        "(tunneled TPU attachments kill calls past "
+                        f"~60 s). Interval ending t={target:.6f} was "
+                        f"{interval:.4g} s of simulated time — set "
+                        "max_steps_per_dispatch (--max-steps-per-"
+                        "dispatch) to split it across device calls; the "
+                        "split is trajectory-preserving (bit-identical "
+                        "to the unsplit run), unlike reducing "
+                        "output_interval, which moves the dt remainder "
+                        "clamp.") from e
                 raise
             elapsed = time.perf_counter() - t0
             self.wall_time_in_loop += elapsed

@@ -107,6 +107,21 @@ class IntervalResult(NamedTuple):
     # wasted sub-chunk; a nonzero count is normal for burst transients,
     # the skin_guard flag above marks the unrecoverable case)
     n_rollbacks: jnp.ndarray = None
+    # interval-local Kahan clock (value + compensation) at return. With
+    # ``max_steps`` the loop may stop MID-interval (t_local <
+    # interval_len); feeding (t_local, t_comp) back as (t_local0,
+    # t_comp0) resumes the exact clock, so a step-bounded sequence of
+    # dispatches reproduces the single-dispatch trajectory BIT-FOR-BIT —
+    # the dt remainder clamp (min(dt, interval_len - t), the reference's
+    # SPH_Poiseuille.m:250,259,267 semantics) still fires only at the
+    # true output point (tests/test_stepper.py split-vs-unsplit)
+    t_local: jnp.ndarray = None
+    t_comp: jnp.ndarray = None
+    # fused engine only: the rollback-backoff sub-chunk length at return
+    # — feed back as ``sub_len0`` so a resumed call continues the
+    # adaptive schedule exactly (required for split-vs-unsplit
+    # bit-equality when a rollback halved the chunk length mid-interval)
+    sub_len: jnp.ndarray = None
 
 
 def _log_row_update(every, logbuf, logn, g_step, t_after, dt, n_pairs,
@@ -287,7 +302,25 @@ class Engine:
 
     # ---- full inner loop to the next output point ----
     def _run_interval(self, state: State, cands, geom, interval_len,
-                      g=None, mu=None, t_base=None, step_base=None):
+                      g=None, mu=None, t_base=None, step_base=None,
+                      max_steps=None, t_local0=None, t_comp0=None,
+                      steps_done0=None, sub_len0=None):
+        """``max_steps`` (optional, traced) bounds this CALL's step count
+        with NO change to any step's dt — the remainder clamp still
+        fires only at the true output point. Feeding the returned
+        (t_local, t_comp) back as (t_local0, t_comp0), and the number of
+        interval steps already run as ``steps_done0``, continues the
+        interval exactly where it stopped (see IntervalResult.t_local);
+        Simulation uses this to split one output interval across
+        device dispatches without changing the trajectory (the tunneled
+        TPU kills single dispatches past ~60 s). ``steps_done0`` keeps
+        the interval-local step index — and with it the
+        ``rebuild_every`` candidate-refresh schedule — continuous:
+        rebuilds at different steps re-order candidate slots, and
+        non-associative f32 row sums then differ in the last ulp, so
+        the schedule must match for bit-equality. ``sub_len0`` is a
+        fused-engine resume knob, accepted and ignored here."""
+        del sub_len0  # per-step engines have no chunk backoff state
         dtype = state.x.dtype
         interval_len = jnp.asarray(interval_len, dtype)
         every = self.cfg.step_log_every
@@ -296,17 +329,24 @@ class Engine:
         step_base = (jnp.asarray(0, jnp.int32) if step_base is None
                      else jnp.asarray(step_base, jnp.int32))
         nf = self.spec.n_fluid
+        ms = (None if max_steps is None
+              else jnp.asarray(max_steps, jnp.int32))
+        sd0 = (jnp.asarray(0, jnp.int32) if steps_done0 is None
+               else jnp.asarray(steps_done0, jnp.int32))
 
         def cond(carry):
-            _, _, _, t_local, *_ = carry
-            return t_local < interval_len
+            _, _, _, t_local, _, n_steps, *_ = carry
+            in_time = t_local < interval_len
+            if ms is None:
+                return in_time
+            return jnp.logical_and(in_time, n_steps < ms)
 
         def body(carry):
             (state, cands, geom, t_local, t_comp, n_steps, overflow, guard,
              tau_b, tau_t, logbuf, logn) = carry
             remain = interval_len - t_local
             state, cands, geom, dt, ovf, grd, tau_b, tau_t = self._step(
-                state, cands, geom, n_steps, remain, g, mu)
+                state, cands, geom, sd0 + n_steps, remain, g, mu)
             t_local, t_comp = _t_add(t_local, t_comp, dt)
             if every > 0:
                 vmax = jnp.sqrt(jnp.max(state.vx[:nf] ** 2
@@ -321,12 +361,14 @@ class Engine:
 
         zero = jnp.asarray(0.0, dtype)
         false = jnp.asarray(False)
+        t0 = zero if t_local0 is None else jnp.asarray(t_local0, dtype)
+        tc0 = zero if t_comp0 is None else jnp.asarray(t_comp0, dtype)
         logbuf0 = (jnp.zeros((STEP_LOG_CAP, STEP_LOG_COLS), dtype)
                    if every > 0 else None)
-        carry = (state, cands, geom, zero, zero, jnp.asarray(0, jnp.int32),
+        carry = (state, cands, geom, t0, tc0, jnp.asarray(0, jnp.int32),
                  false, false, zero, zero, logbuf0,
                  jnp.asarray(0, jnp.int32) if every > 0 else None)
-        (state, cands, geom, _, _, n_steps, overflow, guard,
+        (state, cands, geom, t_fin, tc_fin, n_steps, overflow, guard,
          tau_b, tau_t, logbuf, logn) = jax.lax.while_loop(cond, body, carry)
 
         v_max = jnp.sqrt(jnp.max(state.vx[:nf] ** 2 + state.vy[:nf] ** 2))
@@ -336,7 +378,8 @@ class Engine:
                               n_steps=n_steps, overflow=overflow,
                               skin_guard=guard, v_max=v_max,
                               n_pairs=n_pairs,
-                              step_log=logbuf, step_log_n=logn)
+                              step_log=logbuf, step_log_n=logn,
+                              t_local=t_fin, t_comp=tc_fin)
 
 
 class CellEngine:
@@ -460,7 +503,13 @@ class CellEngine:
             state.b21, state.b22, mu, cfg.wall_visc_factor)
 
     def _run_interval(self, state: State, lay, geom, interval_len,
-                      g=None, mu=None, t_base=None, step_base=None):
+                      g=None, mu=None, t_base=None, step_base=None,
+                      max_steps=None, t_local0=None, t_comp0=None,
+                      steps_done0=None, sub_len0=None):
+        """``max_steps``/``t_local0``/``t_comp0``/``steps_done0``:
+        trajectory-preserving step-bounded dispatch — see
+        Engine._run_interval (``sub_len0`` accepted and ignored)."""
+        del sub_len0
         dtype = state.x.dtype
         interval_len = jnp.asarray(interval_len, dtype)
         every = self.cfg.step_log_every
@@ -469,17 +518,24 @@ class CellEngine:
         step_base = (jnp.asarray(0, jnp.int32) if step_base is None
                      else jnp.asarray(step_base, jnp.int32))
         nf = self.spec.n_fluid
+        ms = (None if max_steps is None
+              else jnp.asarray(max_steps, jnp.int32))
+        sd0 = (jnp.asarray(0, jnp.int32) if steps_done0 is None
+               else jnp.asarray(steps_done0, jnp.int32))
 
         def cond(carry):
-            _, _, _, t_local, *_ = carry
-            return t_local < interval_len
+            _, _, _, t_local, _, n_steps, *_ = carry
+            in_time = t_local < interval_len
+            if ms is None:
+                return in_time
+            return jnp.logical_and(in_time, n_steps < ms)
 
         def body(carry):
             (state, lay, geom, t_local, t_comp, n_steps, overflow, guard,
              tau_b, tau_t, logbuf, logn) = carry
             remain = interval_len - t_local
             state, lay, geom, dt, ovf, grd, tau_b, tau_t = self._step(
-                state, lay, geom, n_steps, remain, g, mu,
+                state, lay, geom, sd0 + n_steps, remain, g, mu,
                 tau_prev=(tau_b, tau_t))
             t_local, t_comp = _t_add(t_local, t_comp, dt)
             if every > 0:
@@ -495,12 +551,14 @@ class CellEngine:
 
         zero = jnp.asarray(0.0, dtype)
         false = jnp.asarray(False)
+        t0 = zero if t_local0 is None else jnp.asarray(t_local0, dtype)
+        tc0 = zero if t_comp0 is None else jnp.asarray(t_comp0, dtype)
         logbuf0 = (jnp.zeros((STEP_LOG_CAP, STEP_LOG_COLS), dtype)
                    if every > 0 else None)
-        carry = (state, lay, geom, zero, zero, jnp.asarray(0, jnp.int32),
+        carry = (state, lay, geom, t0, tc0, jnp.asarray(0, jnp.int32),
                  false, false, zero, zero, logbuf0,
                  jnp.asarray(0, jnp.int32) if every > 0 else None)
-        (state, lay, geom, _, _, n_steps, overflow, guard,
+        (state, lay, geom, t_fin, tc_fin, n_steps, overflow, guard,
          tau_b, tau_t, logbuf, logn) = jax.lax.while_loop(cond, body, carry)
 
         if every == 0:
@@ -515,7 +573,8 @@ class CellEngine:
                               n_steps=n_steps, overflow=overflow,
                               skin_guard=guard, v_max=v_max,
                               n_pairs=n_pairs,
-                              step_log=logbuf, step_log_n=logn)
+                              step_log=logbuf, step_log_n=logn,
+                              t_local=t_fin, t_comp=tc_fin)
 
 
 class PallasCellEngine(CellEngine):
@@ -656,15 +715,28 @@ class PallasCellEngine(CellEngine):
         return geom  # carried from the step's density kernel
 
     def _run_interval(self, state: State, lay, geom, interval_len,
-                      g=None, mu=None, t_base=None, step_base=None):
+                      g=None, mu=None, t_base=None, step_base=None,
+                      max_steps=None, t_local0=None, t_comp0=None,
+                      steps_done0=None, sub_len0=None):
         """Core-carry interval loop (see class docstring). Falls back to
         the generic per-particle loop when in-loop logging is on (the log
         path needs per-step particle-order observables and is not a hot
-        path)."""
+        path). ``max_steps``/``t_local0``/``t_comp0``: trajectory-
+        preserving step-bounded dispatch — see Engine._run_interval. The
+        bound binds at sub-chunk GROUP boundaries (see the note above
+        ``ms`` below), so a call may overshoot by up to rebuild_every - 1
+        steps. ``steps_done0`` is unused by the hot path (the adaptive
+        drift guard schedules rebuilds from measured drift, not the step
+        index) but accepted for driver symmetry and passed to the
+        logging fallback. ``sub_len0`` resumes the rollback-backoff
+        chunk length (IntervalResult.sub_len) so the adaptive schedule
+        continues exactly where the previous call stopped."""
         if self.cfg.step_log_every > 0:
             return CellEngine._run_interval(
                 self, state, lay, geom, interval_len, g=g, mu=mu,
-                t_base=t_base, step_base=step_base)
+                t_base=t_base, step_base=step_base, max_steps=max_steps,
+                t_local0=t_local0, t_comp0=t_comp0,
+                steps_done0=steps_done0)
 
         cfg, spec, pc = self.cfg, self.spec, self._pc
         g = cfg.gravity_g if g is None else g
@@ -727,6 +799,18 @@ class PallasCellEngine(CellEngine):
         _PREDICT = os.environ.get("SPH_DRIFT_PREDICTOR", "1") != "0"
         sxb = jnp.asarray(spec.skin_x, dtype)
         syb = jnp.asarray(spec.skin_y, dtype)
+
+        # The step budget binds at sub-chunk GROUP boundaries only: a
+        # group always runs its natural length (drift soft-stop or the
+        # rebuild cap), so the group/rebuild schedule — and with it the
+        # slot order behind the f32 reduction order — is IDENTICAL to the
+        # unsplit run's by construction (cutting a group short would
+        # insert a rebuild the unsplit run didn't have, re-ordering
+        # reductions in the last ulp). A call may therefore overshoot
+        # max_steps by up to rebuild_every - 1 steps; size the budget
+        # with that slack (Simulation._dispatch_interval documents it).
+        ms = (None if max_steps is None
+              else jnp.asarray(max_steps, jnp.int32))
 
         def body(carry):
             (lay, cores, pidx_e, hidx_e, npairs, t_local, t_comp, n_steps,
@@ -894,20 +978,27 @@ class PallasCellEngine(CellEngine):
                     guard | grd, nroll + nrb_g, sub_len2)
 
         def cond(carry):
-            return carry[5] < interval_len
+            in_time = carry[5] < interval_len
+            if ms is None:
+                return in_time
+            return jnp.logical_and(in_time, carry[7] < ms)
 
         zero = jnp.asarray(0.0, dtype)
+        t0 = zero if t_local0 is None else jnp.asarray(t_local0, dtype)
+        tc0 = zero if t_comp0 is None else jnp.asarray(t_comp0, dtype)
+        sl0 = (jnp.asarray(_SUB, jnp.int32) if sub_len0 is None
+               else jnp.minimum(jnp.asarray(sub_len0, jnp.int32), _SUB))
         cores0 = scatter_all(lay, state)
         # aux fields (rho..b22) are collected with the EXEC-layout indices
         # — the layout in effect when the last chunk produced them (a
         # trailing rebuild changes lay but not the produced cores)
         carry = (lay, cores0, lay.pidx, lay.hidx,
-                 jnp.asarray(geom, jnp.int32), zero, zero,
+                 jnp.asarray(geom, jnp.int32), t0, tc0,
                  jnp.asarray(0, jnp.int32), lay.overflow,
-                 jnp.asarray(False), jnp.asarray(0, jnp.int32),
-                 jnp.asarray(_SUB, jnp.int32))
-        (lay, cores, pidx_e, hidx_e, n_pairs, _, _, n_steps, overflow,
-         guard, n_rollbacks, _) = jax.lax.while_loop(cond, body, carry)
+                 jnp.asarray(False), jnp.asarray(0, jnp.int32), sl0)
+        (lay, cores, pidx_e, hidx_e, n_pairs, t_fin, tc_fin, n_steps,
+         overflow, guard, n_rollbacks, sub_len_fin) = jax.lax.while_loop(
+             cond, body, carry)
 
         def tk_p(c):
             return c.reshape(-1)[pidx_e]
@@ -945,7 +1036,9 @@ class PallasCellEngine(CellEngine):
                               tau_bottom=tau_b, tau_top=tau_t,
                               n_steps=n_steps, overflow=overflow,
                               skin_guard=guard, v_max=v_max,
-                              n_pairs=n_pairs, n_rollbacks=n_rollbacks)
+                              n_pairs=n_pairs, n_rollbacks=n_rollbacks,
+                              t_local=t_fin, t_comp=tc_fin,
+                              sub_len=sub_len_fin)
 
 
 def resolve_engine_name(cfg: SPHConfig, scene: Scene = None) -> str:
