@@ -60,6 +60,17 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _vmem_limit_bytes(cm: str) -> int:
+    """Scoped-VMEM budget for the fused kernels. "partial" packs cache +
+    working set just past the default 100 MB scoped budget (measured
+    101.65 MB at dp=0.005 k_cut=6); the chip has 128 MB of VMEM.
+    SPH_VMEM_LIMIT_MB overrides (probing lever — Mosaic's scoped-stack
+    requirement itself grows with the granted limit, docs/SCALING.md)."""
+    ov = os.environ.get("SPH_VMEM_LIMIT_MB")
+    mb = int(ov) if ov else (112 if cm == "partial" else 100)
+    return mb * 1024 * 1024
+
+
 def plan(spec: GridSpec):
     """(R, L, n_groups, nyp): pack R cell rows per program so L = R*nx
     fills 128-lane vregs well; minimize padded-lane work. SPH_PLAN_R
@@ -1492,11 +1503,7 @@ def _fused_call(spec: GridSpec, cores, occ, dt, scalars):
             + ([pltpu.VMEM((n_slots * kc, 9 * K, L), dtype)
                 for _ in range(_N_CACHE)] if gc else [])),
         compiler_params=pltpu.CompilerParams(
-            # "partial" packs cache + working set just past the default
-            # 100 MB scoped budget (measured 101.65 MB at dp=0.005
-            # k_cut=6); the chip has 128 MB of VMEM
-            vmem_limit_bytes=(112 if cm == "partial" else 100)
-            * 1024 * 1024),
+            vmem_limit_bytes=_vmem_limit_bytes(cm)),
         interpret=_interpret(),
     )(*cores, occ, params)
 
@@ -1730,11 +1737,7 @@ def fused_chunk_call(spec: GridSpec, lay: FusedLayout, xH, yH, vxH, vyH,
             + ([pltpu.VMEM((n_slots * kc, 9 * K, L), dtype)
                 for _ in range(_N_CACHE)] if gc else [])),
         compiler_params=pltpu.CompilerParams(
-            # "partial" packs cache + working set just past the default
-            # 100 MB scoped budget (measured 101.65 MB at dp=0.005
-            # k_cut=6); the chip has 128 MB of VMEM
-            vmem_limit_bytes=(112 if cm == "partial" else 100)
-            * 1024 * 1024),
+            vmem_limit_bytes=_vmem_limit_bytes(cm)),
         interpret=_interpret(),
     )(xH, yH, vxH, vyH, drP, lay.isf_c, lay.mass_c, lay.wvx_c,
       lay.wvy_c, lay.refx_p, lay.refy_p, lay.occ, params, nsub)

@@ -122,6 +122,7 @@ def test_single_step_equivalence_jittered(engines):
                                    err_msg=name, **tol)
 
 
+@pytest.mark.heavy
 def test_interval_equivalence(engines):
     """After ~250 steps the two engines agree on the physics observables
     (trajectories decorrelate at f32 reordering level, so compare binned
@@ -149,6 +150,7 @@ def test_interval_equivalence(engines):
     np.testing.assert_allclose(prof_c, prof_a, rtol=5e-3, atol=1e-4)
 
 
+@pytest.mark.heavy
 def test_cellgrid_skin_mode(engines):
     """Skin + rebuild_every must agree with strict rebuild."""
     cfg0, scene, ga, cg, state0 = engines
@@ -205,6 +207,7 @@ def test_wall_visc_factor_knob():
     assert float(outs["f5"][6]) > float(outs["f4"][6])
 
 
+@pytest.mark.heavy
 def test_interval_tail_tau_matches_inloop_monitor(engines):
     """The interval-final tau computed AFTER the while loop (monitor
     statically dropped from the body when step_log_every == 0) must equal

@@ -63,6 +63,7 @@ def test_missing_file(tmp_path, small_cfg):
     assert "exist" in reason
 
 
+@pytest.mark.heavy
 def test_resume_matches_uninterrupted(tmp_path, small_cfg):
     """Run 1.0 s straight vs 0.5 s + restart + 0.5 s: final states must
     agree closely (bitwise equality is not expected: the resumed run

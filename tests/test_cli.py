@@ -5,7 +5,10 @@ import os
 import subprocess
 import sys
 
+import pytest
 
+
+@pytest.mark.heavy
 def test_cli_end_to_end(tmp_path):
     ini = tmp_path / "tiny.ini"
     ini.write_text(
@@ -43,6 +46,7 @@ def test_cli_end_to_end(tmp_path):
     assert "L2 relative error" in r2.stdout
 
 
+@pytest.mark.heavy
 def test_f64_interval_scalars_not_truncated(tmp_path):
     """--dtype float64: the driver's host-side interval/t scalars must
     enter the device at float64 (the reference is f64 throughout — MATLAB

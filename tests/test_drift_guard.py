@@ -82,6 +82,7 @@ def test_exceeded_flag_thresholds(setup):
     assert flag(1.1 * spec.skin_y)
 
 
+@pytest.mark.heavy
 def test_trip_rolls_back_and_recovers(monkeypatch):
     """A genuine drift-budget crossing must DISCARD the offending
     sub-chunk and re-run it on fresh candidates instead of failing the

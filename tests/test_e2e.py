@@ -18,6 +18,8 @@ from sph_poiseuille_flow_tpu.simulation import Simulation, SimulationPaths
 
 from test_config import default_cfg
 
+pytestmark = pytest.mark.heavy  # multi-second simulated-time runs
+
 
 @pytest.fixture(scope="module")
 def e2e_result(tmp_path_factory):

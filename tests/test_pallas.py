@@ -45,6 +45,7 @@ def test_dispatch():
     assert isinstance(make_engine(cfg, scene), PallasCellEngine)
 
 
+@pytest.mark.heavy
 def test_init_and_jittered_step_equivalence(engines):
     cfg, scene, xla, pls = engines
     st = _jittered_state(cfg, scene, initial_state(cfg, scene))
@@ -77,6 +78,7 @@ def test_init_and_jittered_step_equivalence(engines):
                                             abs=1e-6)
 
 
+@pytest.mark.heavy
 def test_interval_equivalence(engines):
     cfg, scene, xla, pls = engines
     state0 = initial_state(cfg, scene)
@@ -93,6 +95,7 @@ def test_interval_equivalence(engines):
     assert int(rp.n_pairs) == int(ra.n_pairs)
 
 
+@pytest.mark.heavy
 @pytest.mark.parametrize("variant", [
     pytest.param({"SPH_FUSED_ROWS": "1"}, id="rows"),
     pytest.param({"SPH_FUSED_UNROLL": "2"}, id="unroll2"),
@@ -171,6 +174,7 @@ def test_expand_exact_beyond_bf16():
     np.testing.assert_array_equal(np.asarray(out), expect)
 
 
+@pytest.mark.heavy
 @pytest.mark.parametrize("mode", ["ring", "none", "partial"])
 def test_geom_cache_modes_bit_identical(monkeypatch, mode):
     """"ring" (the depth-4 wavefront schedule — ops/fused_cell.cache_mode's
@@ -297,6 +301,7 @@ def engines_shipping():
     return cfg, scene, CellEngine(cfg, scene), PallasCellEngine(cfg, scene)
 
 
+@pytest.mark.heavy
 def test_shipping_pick_shape(engines_shipping):
     cfg, scene, xla, pls = engines_shipping
     spec = pls.spec
@@ -308,6 +313,7 @@ def test_shipping_pick_shape(engines_shipping):
     assert spec.skin_x > 0.0 and spec.skin_y > 0.0
 
 
+@pytest.mark.heavy
 def test_shipping_pick_step_equivalence(engines_shipping):
     cfg, scene, xla, pls = engines_shipping
     st = _jittered_state(cfg, scene, initial_state(cfg, scene))
@@ -327,6 +333,7 @@ def test_shipping_pick_step_equivalence(engines_shipping):
                                    err_msg=name, **tol)
 
 
+@pytest.mark.heavy
 def test_shipping_pick_interval_equivalence(engines_shipping):
     cfg, scene, xla, pls = engines_shipping
     state0 = initial_state(cfg, scene)

@@ -16,6 +16,8 @@ from sph_poiseuille_flow_tpu.stepper import (CellEngine, Engine, State,
 
 from test_config import default_cfg
 
+pytestmark = pytest.mark.heavy  # virtual-mesh sharding + sweep runs
+
 
 def _quick_cfg(**kw):
     return default_cfg(DL=1.0, DH=0.5, dp=0.05, end_time=0.2,

@@ -15,6 +15,8 @@ from sph_poiseuille_flow_tpu.stepper import (CellEngine, Engine,
                                              PallasCellEngine, State,
                                              initial_state)
 
+pytestmark = pytest.mark.heavy  # full-interval equivalence runs
+
 from test_config import default_cfg
 
 
