@@ -10,7 +10,13 @@ against the shipping partial-ring auto pick (k_cut=6, 4.04e7 psteps/s)
 at the bench protocol. One configuration per process (the plan/cache
 knobs are read at trace time).
 
-Usage: python experiments/probe_ring_l.py [R cache_mode]
+Round-5 finding: the lever generalizes — R=1 at dp=0.005 runs 6.2e7
+psteps/s (+54% over the shipping partial), driven not by the cache but
+by PER-ROW occupancy bounds: occl is a max over the R rows of a group,
+so small R lets the k-loop skip empty anchor ranks per row instead of
+paying the worst row of the group. The probe therefore takes dp too.
+
+Usage: python experiments/probe_ring_l.py [R cache_mode [dp]]
   no args: print the orchestration plan
   R=0 means the cost-model pick.
 """
@@ -80,13 +86,18 @@ def run(R: int, cache: str) -> dict:
         per.append(int(res.n_steps) * scene.n_fluid / el)
     info["psps"] = [round(p, -3) for p in per]
     info["best_psps"] = round(max(per), 1)
+    info["dp"] = DP
     return info
 
 
 if __name__ == "__main__":
-    if len(sys.argv) == 3:
+    if len(sys.argv) >= 3:
+        if len(sys.argv) >= 4:
+            DP = float(sys.argv[3])
+            if DP >= 0.02:       # keep timed windows >= ~2000 steps
+                INTERVAL = 1.0
         out = run(int(sys.argv[1]), sys.argv[2])
         print(json.dumps(out))
     else:
         print("run me per-config:  python experiments/probe_ring_l.py "
-              "0 auto | 3 ring | 2 ring")
+              "0 auto | 3 ring | 2 ring | 1 ring 0.01")

@@ -162,6 +162,10 @@ class SPHConfig:
     #                               capped by rebuild_every)
     fused_rows: str = "auto"        # k-loop order: auto | "1" row-outer |
     #                               "0" slab-outer (see fused_cell.use_rows)
+    plan_r: int = 0                 # fused row-group width R (0 = auto:
+    #                               R=1 when one row fills the lanes,
+    #                               nx >= 100; else the padded-cost
+    #                               model — see fused_cell.plan)
     celly_margin: float = 0.06      # lane-pack cell_y lattice-aliasing
     #                               margin, in dp units (compression
     #                               tolerance of the occupancy bound)

@@ -73,17 +73,29 @@ def _vmem_limit_bytes(cm: str) -> int:
 
 def plan(spec: GridSpec):
     """(R, L, n_groups, nyp): pack R cell rows per program so L = R*nx
-    fills 128-lane vregs well; minimize padded-lane work. SPH_PLAN_R
-    overrides R (probing lever: a smaller R shrinks the lane width L and
-    with it every per-(group, k) cache slot, letting the full-K ring
-    cache fit VMEM at scales where the cost-model R busts the budget —
-    the round-5 dp=0.005 shape probe, docs/SCALING.md)."""
+    fills 128-lane vregs well. R is a pure SCHEDULING choice — the
+    trajectory is bit-identical across R (test_pallas.py:
+    test_plan_r_bit_identical) — so the pick is purely a measured cost
+    question. Round-5 measurement (docs/SCALING.md R-sweep): once ONE
+    row reasonably fills the 128-lane vregs (nx >= 100, util >= 78%),
+    R=1 beats the padded-lane-cost model decisively — 6.1e7 vs 4.8e7
+    psteps/s at dp=0.01 (R=1 vs R=5), 6.2e7 vs 4.0e7 at dp=0.005 —
+    because occl (the occupancy k-loop bound) is a max over the R rows
+    of a group: R=1 bounds every row by ITS OWN occupancy instead of
+    the group's worst row, and the whole-K ring cache shrinks linearly
+    with L to VMEM-resident sizes (17-35 MB). Narrow grids (nx=40:
+    3.2x lane padding at R=1, measured 2.3e7 vs 3.9e7) keep the
+    padded-cost pick. SPH_PLAN_R / SPHConfig.plan_r override (probing
+    lever / config reproducibility)."""
     nx, ny = spec.nx, spec.ny
-    forced = int(os.environ.get("SPH_PLAN_R", "0"))
+    forced = (int(os.environ.get("SPH_PLAN_R", "0"))
+              or int(getattr(spec, "plan_r", 0)))
     if forced > 0:
         R = min(forced, 8)
         n_groups = -(-ny // R)
         return R, R * nx, n_groups, R * n_groups
+    if nx >= 100:
+        return 1, nx, ny, ny
     best = None
     for R in range(1, 9):
         L = R * nx
@@ -1469,6 +1481,24 @@ def _fused_call(spec: GridSpec, cores, occ, dt, scalars):
 
     rows = use_rows(spec, dtype)
     cm, kc = ("none", 0) if rows else cache_plan(spec, dtype)
+    if (cm in ("ring", "partial")
+            and _cache_bytes(spec, dtype, _RING_DEPTH,
+                             kc if cm == "partial" else None)
+            > (_RING_CACHE_BUDGET if cm == "ring"
+               else _PARTIAL_CACHE_BUDGET)):
+        # The single-step kernel serves init / in-loop logging / tests —
+        # never the hot path (FusedEngine._step docstring) — but it pays
+        # the same scoped-VMEM stack as the chunk kernel. A FORCED
+        # ring/partial whose cache busts cache_plan's own auto budgets
+        # (SPH_PLAN_R / SPH_GEOM_CACHE probe configs) OOMs Mosaic here
+        # with a scoped stack that chases any granted limit (measured
+        # 112.7 MB @ 100 -> 123.2 MB @ 123, round 5). Cache modes are
+        # bit-/ULP-equivalent (test_pallas.py:
+        # test_geom_cache_modes_bit_identical), so the one-shot kernel
+        # drops to the full cache when it fits, else to recompute;
+        # auto-planned configs (all shipping grids) are never affected.
+        cm, kc = (("full", K) if use_geom_cache(spec, dtype)
+                  else ("none", 0))
     gc = cm != "none"
     ring = cm in ("ring", "partial")
     n_slots = _RING_DEPTH if ring else n_groups

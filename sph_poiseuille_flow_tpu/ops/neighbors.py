@@ -74,6 +74,9 @@ class GridSpec:
     geom_cache: str = "auto"
     geom_kcut: int = 0
     fused_rows: str = "auto"
+    plan_r: int = 0      # row-group width R (0 = auto: R=1 when a row
+    #                      fills the lanes, else the padded-cost model —
+    #                      see fused_cell.plan)
 
     @property
     def n_cells(self) -> int:
@@ -240,6 +243,7 @@ def make_grid_spec(cfg, scene, wall_margin: float = 0.0,
         geom_cache=str(getattr(cfg, "geom_cache", "auto")),
         geom_kcut=int(getattr(cfg, "geom_kcut", 0)),
         fused_rows=str(getattr(cfg, "fused_rows", "auto")),
+        plan_r=int(getattr(cfg, "plan_r", 0)),
     )
 
 

@@ -70,6 +70,11 @@ def main(argv=None) -> int:
                         help="fused k-loop order: 1 = candidate-row-outer, "
                              "0 = anchor-rank-outer, auto = measured "
                              "default")
+    parser.add_argument("--plan-r", type=int, default=0,
+                        help="fused row-group width R (0 = auto: R=1 when "
+                             "one cell row fills the vector lanes, "
+                             "nx >= 100; else the padded-lane cost model. "
+                             "SPH_PLAN_R still overrides for probing)")
     parser.add_argument("--celly-margin", type=float, default=0.06,
                         help="lane-pack cell_y lattice-aliasing margin in "
                              "dp units (the occupancy bound's compression "
@@ -165,6 +170,7 @@ def main(argv=None) -> int:
             step_log_every=args.step_log_every,
             geom_cache=args.geom_cache, geom_kcut=args.geom_kcut,
             sub_steps=args.sub_steps, fused_rows=args.fused_rows,
+            plan_r=args.plan_r,
             celly_margin=args.celly_margin,
             max_steps_per_dispatch=args.max_steps_per_dispatch,
             ini_overrides=ini_overrides)

@@ -220,9 +220,34 @@ class TestPerfKnobThreading:
         p = tmp_path / "config.ini"
         p.write_text(DEFAULT_INI)
         cfg = load_config(str(p), geom_cache="partial", geom_kcut=6,
-                          sub_steps=8, fused_rows="0", celly_margin=0.02)
+                          sub_steps=8, fused_rows="0", celly_margin=0.02,
+                          plan_r=2)
         assert cfg.geom_cache == "partial"
         assert cfg.geom_kcut == 6
         assert cfg.sub_steps == 8
         assert cfg.fused_rows == "0"
         assert cfg.celly_margin == pytest.approx(0.02)
+        assert cfg.plan_r == 2
+
+    def test_plan_r_rides_the_grid_spec(self, monkeypatch):
+        from sph_poiseuille_flow_tpu.ops import fused_cell as fc
+        monkeypatch.delenv("SPH_PLAN_R", raising=False)
+        spec = self._spec(plan_r=2)
+        assert spec.plan_r == 2
+        assert fc.plan(spec)[0] == 2
+        # env keeps override power over the config knob
+        monkeypatch.setenv("SPH_PLAN_R", "1")
+        assert fc.plan(spec)[0] == 1
+
+    def test_plan_r_auto_rule(self, monkeypatch):
+        """nx >= 100 -> R=1 (the round-5 per-row-occupancy pick); narrow
+        grids keep the padded-lane cost model (docs/SCALING.md R-sweep)."""
+        import dataclasses
+
+        from sph_poiseuille_flow_tpu.ops import fused_cell as fc
+        monkeypatch.delenv("SPH_PLAN_R", raising=False)
+        spec = self._spec()
+        wide = dataclasses.replace(spec, nx=100, ny=40)
+        assert fc.plan(wide) == (1, 100, 40, 40)
+        narrow = dataclasses.replace(spec, nx=40, ny=18)
+        assert fc.plan(narrow)[0] == 3

@@ -248,21 +248,61 @@ def test_geom_cache_modes_bit_identical(monkeypatch, mode):
             f"step {name}")
 
 
+@pytest.mark.heavy
+@pytest.mark.parametrize("forced_r", [1, 2])
+def test_plan_r_bit_identical(monkeypatch, forced_r):
+    """The row-group width R is a pure SCHEDULING choice: it sets the lane
+    width L = R*nx and the occupancy-bound granularity (occl is a max over
+    the R rows of a group), but every particle's candidate slab stacks the
+    same 9K sub-rows in the same order and empty anchor ranks contribute
+    exact zeros — so trajectories must be BIT-identical across R. This is
+    the correctness basis for the round-5 R=1 shipping pick at dp<=0.01
+    (per-row occupancy bounds measured +54% at dp=0.005, docs/SCALING.md):
+    a forced R must reproduce the cost-model R's interval bit for bit,
+    including the drift-guard/rollback schedule."""
+    cfg = default_cfg(DL=1.0, DH=5.0, dp=0.05, end_time=0.2,
+                      output_interval=0.1, engine="pallas",
+                      rebuild_every=8)
+    scene = build_scene(cfg)
+    s0 = initial_state(cfg, scene)
+
+    eng_auto = PallasCellEngine(cfg, scene)
+    import sph_poiseuille_flow_tpu.ops.fused_cell as fc
+    assert fc.plan(eng_auto.spec)[0] != forced_r, \
+        "forced R must differ from the cost-model pick to test anything"
+    s1, l1, g1, _ = eng_auto.init(s0)
+    r_auto = eng_auto.run_interval(s1, l1, g1, np.float32(0.005))
+
+    monkeypatch.setenv("SPH_PLAN_R", str(forced_r))
+    eng_r = PallasCellEngine(cfg, scene)   # fresh trace under the env
+    s2, l2, g2, _ = eng_r.init(s0)
+    r2 = eng_r.run_interval(s2, l2, g2, np.float32(0.005))
+
+    assert int(r_auto.n_steps) == int(r2.n_steps)
+    for name in r_auto.state._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(r2.state, name)),
+            np.asarray(getattr(r_auto.state, name)), err_msg=name)
+    np.testing.assert_array_equal(np.asarray(r2.tau_bottom),
+                                  np.asarray(r_auto.tau_bottom))
+
+
 def test_cache_mode_resolution_shipping_grids():
-    """Pin the auto cache-mode picks at the three bench grids (the
-    shipping perf configs, docs/SCALING.md): dp=0.025 fits the FULL
-    per-(group, k) cache; dp=0.01 exceeds it but fits the depth-4 RING
-    (the measured +26% grid); dp=0.005's full-K ring alone is 140 MB
-    against the 128 MB VMEM (measured Mosaic OOM at 172.7 MB with the
-    working set) so it must resolve PARTIAL with a k_cut that keeps the
-    slabs under the partial budget — a silent flip either way is a perf
-    or a compile regression."""
+    """Pin the auto (R, cache-mode) picks at the three bench grids (the
+    shipping perf configs, docs/SCALING.md): dp=0.025 (nx=40) keeps the
+    padded-cost row grouping (R=3) and fits the FULL per-(group, k)
+    cache; dp=0.01 and dp=0.005 (nx >= 100) take the round-5 R=1 pick —
+    per-row occupancy bounds, measured 6.1e7 / 6.2e7 psteps/s — whose
+    small lane width makes the whole-K depth-4 RING VMEM-resident
+    (17.5 / 35 MB). A silent flip either way is a perf or a compile
+    regression."""
     import jax.numpy as jnp
 
     import sph_poiseuille_flow_tpu.ops.fused_cell as fc
     from sph_poiseuille_flow_tpu.config import derive_config
 
-    for dp, want in ((0.025, "full"), (0.01, "ring"), (0.005, "partial")):
+    for dp, want_r, want in ((0.025, 3, "full"), (0.01, 1, "ring"),
+                             (0.005, 1, "ring")):
         nx3 = round(3.0 / (3.0 * dp))
         cfg = derive_config(
             DL=3.0, DH=1.0, dp=dp, rho0=1.0, mu=0.1, U_bulk=0.666667,
@@ -271,6 +311,8 @@ def test_cache_mode_resolution_shipping_grids():
             neighbor_skin=0.3 * dp, rebuild_every=128, cell_capacity=14,
             lane_pack_nx=nx3, neighbor_capacity=56)
         eng = PallasCellEngine(cfg, build_scene(cfg))
+        assert fc.plan(eng.spec)[0] == want_r, \
+            f"dp={dp}: row-group pick flipped from R={want_r}"
         mode, kc = fc.cache_plan(eng.spec, jnp.float32)
         assert mode == want, f"dp={dp}: cache_mode flipped from {want}"
         if want == "partial":
