@@ -4,8 +4,9 @@ plus secondary metrics at dp=0.01 / dp=0.005 (the geometry-cache scales).
 Runs the high-res preset (DL=3, DH=1, dp=0.025 -> 4800 fluid particles) on
 the default JAX device: warms up/compiles one short interval, then times
 full output intervals of the on-device stepping loop. On TPU the same
-protocol then repeats at dp=0.01 (ring geometry cache, 30,000 fluid) and
-dp=0.005 (partial ring cache, 120,000 fluid), each against its own
+protocol then repeats at dp=0.01 (30,000 fluid) and dp=0.005 (120,000
+fluid) — both resolve the round-5 R=1 row groups + whole-K ring
+geometry cache (fused_cell.plan / cache_plan) — each against its own
 MATCHED-SCALE serial-oracle denominator (BASELINE.md / docs/SCALING.md
 margin table) — so the multi-scale perf story is a driver-captured
 artifact, not a docs table.
@@ -91,8 +92,8 @@ def measure(dp: float, n_timed_intervals: int = 5, interval: float = 0.5,
         # the adaptive chunk length; the predictive soft-stop (stepper.py)
         # schedules rebuilds from the measured drift rate (transient: ~6
         # steps; developed flow: 20+ steps). The geometry cache resolves
-        # per scale (cache_plan): full at dp=0.025, ring at dp=0.01,
-        # partial ring at dp=0.005.
+        # per scale (plan/cache_plan): R=3 + full cache at dp=0.025,
+        # R=1 row groups + whole-K ring at dp<=0.01 (round 5).
         neighbor_skin=(0.3 if on_tpu else 0.75) * dp,
         rebuild_every=128 if on_tpu else 8,
         cell_capacity=14 if lane_nx else 18,
@@ -171,8 +172,8 @@ def main() -> dict:
     out = measure(0.025)
     out["vs_r2_recorded"] = round(out["value"] / R2_RECORDED_PSPS, 3)
 
-    # secondary metrics: the geometry-cache scales (ring at dp=0.01,
-    # partial ring at dp=0.005 — docs/SCALING.md margin table), each vs
+    # secondary metrics: the R=1 + ring geometry-cache scales
+    # (dp=0.01 and dp=0.005 — docs/SCALING.md margin table), each vs
     # its own matched-scale oracle denominator. TPU only: off-TPU the
     # fused engine (and its caches) doesn't run, so the numbers would
     # measure the wrong engine.
