@@ -437,7 +437,20 @@ class ShardedPallasEngine(PallasCellEngine):
             def ip(c):
                 return c[Gh:Gh + rows_loc]
 
-            def one_step(st, stat_h, t, tc):
+            def group_occl(x_e):
+                """Occupancy k-loop bounds from the frozen cell
+                membership — REBUILD-constant (empty slots ride x = BIG
+                through every step, and the exchanged ghost bands carry
+                the neighbors' equally-frozen membership), so this is
+                computed once per rebuild group, not per step (round-5
+                hoist; the per-step recompute was pure overhead)."""
+                cnt_cell = jnp.sum((x_e < 0.5 * BIG).astype(jnp.int32),
+                                   axis=1)
+                return jnp.minimum(
+                    jnp.max(cnt_cell.reshape(ngl, Rl * nx), axis=1,
+                            keepdims=True), K).astype(jnp.int32)
+
+            def one_step(st, stat_h, occl, t, tc):
                 # global v_max: slab max + pmax (exact: max of maxes;
                 # walls/empty slots carry velocity 0 by kernel invariant)
                 v_max = jnp.sqrt(jax.lax.pmax(
@@ -453,13 +466,6 @@ class ShardedPallasEngine(PallasCellEngine):
                 vx_e = ext(st["vx"], 0.0)
                 vy_e = ext(st["vy"], 0.0)
                 dr_e = ext(st["dr"], 0.0)
-                # occupancy bounds from the frozen cell membership (counts
-                # are rebuild-constant: empty slots ride x = BIG)
-                cnt_cell = jnp.sum((x_e < 0.5 * BIG).astype(jnp.int32),
-                                   axis=1)
-                occl = jnp.minimum(
-                    jnp.max(cnt_cell.reshape(ngl, Rl * nx), axis=1,
-                            keepdims=True), K).astype(jnp.int32)
                 cores = [pc.halo_ify(ls, x_e, fill=BIG, xshift=spec.DL),
                          pc.halo_ify(ls, y_e), pc.halo_ify(ls, vx_e),
                          pc.halo_ify(ls, vy_e), dr_e] + list(stat_h)
@@ -615,85 +621,16 @@ class ShardedPallasEngine(PallasCellEngine):
                  refxS, refyS, t, tc, n_steps, overflow, guard, nroll,
                  sub_len) = carry
                 stat_h = make_stat_h(isfS, massS, wvxS, wvyS)
+                x_e0 = ext(st["x"], BIG)
+                occl_g = group_occl(x_e0)
 
-                def sub_cond(sc):
-                    st_i, t_i, tc_i, done_i, soft, grd, bp, nrb, slen = sc
-                    return jnp.logical_and(
-                        jnp.logical_not(soft),
-                        jnp.logical_and(done_i < rb, t_i < il))
-
-                def run_chunk(st_i, t_i, tc_i, n_sub):
-                    """n_dev == 1 fast path: both ghost bands of the one
-                    slab are DOMAIN edges (walls bound y; the band fill
-                    never decays with steps), so up to ``n_sub`` whole
-                    steps can run inside ONE chunk kernel call on the
-                    extended slab — the single-chip amortization
-                    (ops/fused_cell._chunk_kernel docstring: ~0.09 ms
-                    fixed cost per call), kept under shard_map so Mosaic
-                    still compiles the extended-slab spec. Step-for-step
-                    identical to the per-step path (the chunk kernel's dt
-                    and Kahan clock are the bit-equal twins of one_step;
-                    CI: test_parallel.py sharded-vs-single equivalence)."""
-                    x_e = ext(st_i["x"], BIG)
-                    y_e = ext(st_i["y"], 0.0)
-                    vx_e = ext(st_i["vx"], 0.0)
-                    vy_e = ext(st_i["vy"], 0.0)
-                    dr_e = ext(st_i["dr"], 0.0)
-                    cnt_cell = jnp.sum((x_e < 0.5 * BIG).astype(jnp.int32),
-                                       axis=1)
-                    occl = jnp.minimum(
-                        jnp.max(cnt_cell.reshape(ngl, Rl * nx), axis=1,
-                                keepdims=True), K).astype(jnp.int32)
-                    zero3 = jnp.zeros((nypl, K, nx), dtype)
-                    z1 = jnp.zeros((1,), jnp.int32)
-                    lay_shim = pc.FusedLayout(
-                        pidx=z1, hidx=z1, isf_c=stat_h[0],
-                        mass_c=stat_h[1], wvx_c=stat_h[2],
-                        wvy_c=stat_h[3], wbot_c=z1, wtop_c=z1,
-                        refx_p=zero3, refy_p=zero3, occ=occl,
-                        overflow=jnp.asarray(False))
-                    stC, auxC, steps_done, t2, tc2 = pc.fused_chunk_call(
-                        ls, lay_shim,
-                        pc.halo_ify(ls, x_e, fill=BIG, xshift=spec.DL),
-                        pc.halo_ify(ls, y_e), pc.halo_ify(ls, vx_e),
-                        pc.halo_ify(ls, vy_e), dr_e, t_i, tc_i, il,
-                        n_sub, *scalars)
-                    st2 = dict(
-                        x=ip(stC["xP"]), y=ip(stC["yP"]),
-                        vx=ih(stC["vxH"]), vy=ih(stC["vyH"]),
-                        dr=ip(stC["drP"]),
-                        vol=ih(auxC["volH"]), b11=ih(auxC["b11H"]),
-                        b12=ih(auxC["b12H"]), b21=ih(auxC["b21H"]),
-                        b22=ih(auxC["b22H"]), rho=ip(auxC["rhoP"]),
-                        p=ip(auxC["pP"]), fx=ip(auxC["fxP"]),
-                        fy=ip(auxC["fyP"]), fpx=ip(auxC["fpxP"]),
-                        fpy=ip(auxC["fpyP"]),
-                        cnt=auxC["cnt"].reshape(ngl * Rl, nx)
-                        [Gh:Gh + rows_loc])
-                    return steps_done, st2, t2, tc2
-
-                def sub_body(sc):
-                    st_i, t_i, tc_i, done_i, soft, grd, bp, nrb, slen = sc
-                    n_sub = jnp.minimum(
-                        slen, jnp.asarray(rb, jnp.int32) - done_i)
-
-                    if n_dev == 1:
-                        steps_done, st2, t2, tc2 = run_chunk(
-                            st_i, t_i, tc_i, n_sub)
-                    else:
-                        def scond(c):
-                            i, s, t_c, tc_c = c
-                            return jnp.logical_and(i < n_sub, t_c < il)
-
-                        def sbody(c):
-                            i, s, t_c, tc_c = c
-                            s2, t2, tc2 = one_step(s, stat_h, t_c, tc_c)
-                            return (i + 1, s2, t2, tc2)
-
-                        steps_done, st2, t2, tc2 = jax.lax.while_loop(
-                            scond, sbody, (zi, st_i, t_i, tc_i))
+                def guard_eval(xI, yI, bp, n_sub, done_i):
+                    """Drift guard + rollback decision (shared by both
+                    paths; all inputs are mesh-identical scalars, so
+                    every device takes the same decision)."""
                     if spec.skin > 0.0:
-                        bx, by = drift_bounds(st2, refxS, refyS, isfS)
+                        bx, by = drift_bounds(dict(x=xI, y=yI),
+                                              refxS, refyS, isfS)
                         trip = jnp.logical_or(bx > sxb, by > syb)
                         if _PREDICT:
                             # predictive soft-stop + 3/4-consumed floor
@@ -711,26 +648,154 @@ class ShardedPallasEngine(PallasCellEngine):
                         soft2, trip = jnp.asarray(True), false
                     # optimistic execution + rollback with backoff —
                     # identical decision logic to the single-chip loop
-                    # (all inputs are mesh-identical scalars)
                     unrecoverable = jnp.logical_and(n_sub == 1,
                                                     done_i == 0)
                     recov = jnp.logical_and(
                         trip, jnp.logical_not(unrecoverable))
                     grd2 = jnp.logical_and(trip, unrecoverable)
-                    st_out = jax.tree_util.tree_map(
-                        lambda a, b: jnp.where(recov, a, b), st_i, st2)
-                    t_out = jnp.where(recov, t_i, t2)
-                    tc_out = jnp.where(recov, tc_i, tc2)
-                    done_out = jnp.where(recov, done_i,
-                                         done_i + steps_done)
-                    slen_out = jnp.where(recov,
-                                         jnp.maximum(n_sub // 2, 1), slen)
-                    return (st_out, t_out, tc_out, done_out,
-                            soft2 | recov, grd | grd2, (bx, by),
-                            nrb + recov.astype(jnp.int32), slen_out)
+                    return bx, by, soft2, recov, grd2
 
-                (st, t2, tc2, steps_done, _, grd, _, nrb_g, slen_g) = \
-                    jax.lax.while_loop(
+                def sub_cond(sc):
+                    # both carries share the tail layout
+                    # (..., t, tc, done, soft, grd, bp, nrb, slen)
+                    t_i, done_i, soft = sc[-8], sc[-6], sc[-5]
+                    return jnp.logical_and(
+                        jnp.logical_not(soft),
+                        jnp.logical_and(done_i < rb, t_i < il))
+
+                if n_dev == 1:
+                    # n_dev == 1 fast path: both ghost bands of the one
+                    # slab are DOMAIN edges (walls bound y; the band fill
+                    # never decays with steps), so up to sub_len whole
+                    # steps run inside ONE chunk kernel call on the
+                    # extended slab — the single-chip amortization —
+                    # kept under shard_map so Mosaic still compiles the
+                    # extended-slab spec. Round-5: the chunk kernel's
+                    # HALO'D carry cores feed the next call DIRECTLY
+                    # (the single-chip core-carry pattern) — slabs are
+                    # extended/halo'd once per rebuild GROUP, not per
+                    # sub-chunk, and the occupancy bound is the hoisted
+                    # group constant. Step-for-step identical to the
+                    # per-step path (CI: test_parallel.py chunked
+                    # equivalence at n_dev=1).
+                    zero3 = jnp.zeros((nypl, K, nx), dtype)
+                    z1 = jnp.zeros((1,), jnp.int32)
+                    lay_shim = pc.FusedLayout(
+                        pidx=z1, hidx=z1, isf_c=stat_h[0],
+                        mass_c=stat_h[1], wvx_c=stat_h[2],
+                        wvy_c=stat_h[3], wbot_c=z1, wtop_c=z1,
+                        refx_p=zero3, refy_p=zero3, occ=occl_g,
+                        overflow=jnp.asarray(False))
+                    hc0 = dict(
+                        xH=pc.halo_ify(ls, x_e0, fill=BIG,
+                                       xshift=spec.DL),
+                        yH=pc.halo_ify(ls, ext(st["y"], 0.0)),
+                        vxH=pc.halo_ify(ls, ext(st["vx"], 0.0)),
+                        vyH=pc.halo_ify(ls, ext(st["vy"], 0.0)),
+                        drP=ext(st["dr"], 0.0))
+                    # rollback seeds in the chunk call's native (raw)
+                    # forms: a first-sub-chunk rollback must restore the
+                    # group-entry state exactly (halo_ify->ih and
+                    # ext->ip are interior-exact inverses)
+                    cnt_pad = jnp.zeros((ngl * Rl, nx), dtype)
+                    cnt_pad = cnt_pad.at[Gh:Gh + rows_loc].set(st["cnt"])
+                    aux0 = dict(
+                        volH=pc.halo_ify(ls, ext(st["vol"], 0.0)),
+                        b11H=pc.halo_ify(ls, ext(st["b11"], 0.0)),
+                        b12H=pc.halo_ify(ls, ext(st["b12"], 0.0)),
+                        b21H=pc.halo_ify(ls, ext(st["b21"], 0.0)),
+                        b22H=pc.halo_ify(ls, ext(st["b22"], 0.0)),
+                        rhoP=ext(st["rho"], 0.0), pP=ext(st["p"], 0.0),
+                        drP=ext(st["dr"], 0.0), fxP=ext(st["fx"], 0.0),
+                        fyP=ext(st["fy"], 0.0), fpxP=ext(st["fpx"], 0.0),
+                        fpyP=ext(st["fpy"], 0.0),
+                        cnt=cnt_pad.reshape(ngl, Rl * nx))
+
+                    def sub_body(sc):
+                        (hc, xPl, yPl, auxc, t_i, tc_i, done_i, soft,
+                         grd, bp, nrb, slen) = sc
+                        n_sub = jnp.minimum(
+                            slen, jnp.asarray(rb, jnp.int32) - done_i)
+                        stC, auxC, steps_done, t2, tc2 = \
+                            pc.fused_chunk_call(
+                                ls, lay_shim, hc["xH"], hc["yH"],
+                                hc["vxH"], hc["vyH"], hc["drP"],
+                                t_i, tc_i, il, n_sub, *scalars)
+                        hc2 = dict(xH=stC["xH"], yH=stC["yH"],
+                                   vxH=stC["vxH"], vyH=stC["vyH"],
+                                   drP=stC["drP"])
+                        bx, by, soft2, recov, grd2 = guard_eval(
+                            ip(stC["xP"]), ip(stC["yP"]), bp, n_sub,
+                            done_i)
+
+                        def w(a, b):
+                            return jnp.where(recov, a, b)
+
+                        return (jax.tree_util.tree_map(w, hc, hc2),
+                                w(xPl, stC["xP"]), w(yPl, stC["yP"]),
+                                jax.tree_util.tree_map(w, auxc, auxC),
+                                w(t_i, t2), w(tc_i, tc2),
+                                jnp.where(recov, done_i,
+                                          done_i + steps_done),
+                                soft2 | recov, grd | grd2, (bx, by),
+                                nrb + recov.astype(jnp.int32),
+                                jnp.where(recov,
+                                          jnp.maximum(n_sub // 2, 1),
+                                          slen))
+
+                    (hc, xPf, yPf, auxf, t2, tc2, steps_done, _, grd,
+                     _, nrb_g, slen_g) = jax.lax.while_loop(
+                        sub_cond, sub_body,
+                        (hc0, x_e0, ext(st["y"], 0.0), aux0, t, tc, zi,
+                         false, false, (zero, zero), zi, sub_len))
+                    st = dict(
+                        x=ip(xPf), y=ip(yPf),
+                        vx=ih(hc["vxH"]), vy=ih(hc["vyH"]),
+                        dr=ip(hc["drP"]),
+                        vol=ih(auxf["volH"]), b11=ih(auxf["b11H"]),
+                        b12=ih(auxf["b12H"]), b21=ih(auxf["b21H"]),
+                        b22=ih(auxf["b22H"]), rho=ip(auxf["rhoP"]),
+                        p=ip(auxf["pP"]), fx=ip(auxf["fxP"]),
+                        fy=ip(auxf["fyP"]), fpx=ip(auxf["fpxP"]),
+                        fpy=ip(auxf["fpyP"]),
+                        cnt=auxf["cnt"].reshape(ngl * Rl, nx)
+                        [Gh:Gh + rows_loc])
+                else:
+                    def sub_body(sc):
+                        (st_i, t_i, tc_i, done_i, soft, grd, bp, nrb,
+                         slen) = sc
+                        n_sub = jnp.minimum(
+                            slen, jnp.asarray(rb, jnp.int32) - done_i)
+
+                        def scond(c):
+                            i, s, t_c, tc_c = c
+                            return jnp.logical_and(i < n_sub, t_c < il)
+
+                        def sbody(c):
+                            i, s, t_c, tc_c = c
+                            s2, t2, tc2 = one_step(s, stat_h, occl_g,
+                                                   t_c, tc_c)
+                            return (i + 1, s2, t2, tc2)
+
+                        steps_done, st2, t2, tc2 = jax.lax.while_loop(
+                            scond, sbody, (zi, st_i, t_i, tc_i))
+                        bx, by, soft2, recov, grd2 = guard_eval(
+                            st2["x"], st2["y"], bp, n_sub, done_i)
+                        st_out = jax.tree_util.tree_map(
+                            lambda a, b: jnp.where(recov, a, b), st_i,
+                            st2)
+                        return (st_out, jnp.where(recov, t_i, t2),
+                                jnp.where(recov, tc_i, tc2),
+                                jnp.where(recov, done_i,
+                                          done_i + steps_done),
+                                soft2 | recov, grd | grd2, (bx, by),
+                                nrb + recov.astype(jnp.int32),
+                                jnp.where(recov,
+                                          jnp.maximum(n_sub // 2, 1),
+                                          slen))
+
+                    (st, t2, tc2, steps_done, _, grd, _, nrb_g,
+                     slen_g) = jax.lax.while_loop(
                         sub_cond, sub_body,
                         (st, t, tc, zi, false, false, (zero, zero), zi,
                          sub_len))
