@@ -423,6 +423,25 @@ def displacement_exceeded(spec: GridSpec, cands: Candidates, x, y):
     return jnp.max(d2) > (0.5 * spec.skin) ** 2
 
 
+def step_displacement_exceeded(spec: GridSpec, x0, y0, x1, y1):
+    """True when a SINGLE step's motion crossed the half-skin budget.
+
+    This is the unrecoverable drift-guard case (divergence, or a skin far
+    too small for one step of motion): an immediate rebuild cannot restore
+    the candidate invariant because the next step would cross it again.
+    The recoverable case — ACCUMULATED drift over several stale-list steps
+    — is healed in-engine by an early rebuild (Engine._step /
+    CellEngine._step), mirroring the fused engine's rollback
+    (docs/SCALING.md drift guard)."""
+    if spec.skin <= 0.0:
+        return jnp.asarray(False)
+    ddx = x1 - x0
+    ddx = ddx - spec.DL * jnp.round(ddx / spec.DL)
+    ddy = y1 - y0
+    d2 = ddx * ddx + ddy * ddy
+    return jnp.max(d2) > (0.5 * spec.skin) ** 2
+
+
 def count_pairs(geom: Geometry):
     """Reference-convention pair count (fluid-fluid stored once + all
     fluid-wall pairs), for log parity with SPH_Poiseuille.m:287-288."""

@@ -257,11 +257,21 @@ class Engine:
             cands = self._rebuild(x, y)
             guard = jnp.asarray(False)
         else:
+            # accumulated stale-list drift past the half-skin budget is
+            # SELF-HEALED by an early rebuild (the per-step analogue of
+            # the fused engine's sub-chunk rollback; at the first budget
+            # crossing no pair can yet be missing by more than one step's
+            # motion, so healing forward is sound). Fatal only when ONE
+            # step's own motion crosses the budget — rebuilding cannot
+            # restore the invariant then (divergence / skin too small).
+            drift_over = nbr.displacement_exceeded(self.spec, cands, x, y)
             cands = jax.lax.cond(
-                step_idx % cfg.rebuild_every == 0,
+                jnp.logical_or(step_idx % cfg.rebuild_every == 0,
+                               drift_over),
                 lambda: self._rebuild(x, y),
                 lambda: cands)
-            guard = nbr.displacement_exceeded(self.spec, cands, x, y)
+            guard = nbr.step_displacement_exceeded(
+                self.spec, state.x, state.y, x, y)
         geom = nbr.compute_geometry(spec, cands, x, y, vol)
 
         tau_bottom, tau_top = wall_shear(
@@ -436,11 +446,16 @@ class CellEngine:
             lay = self._rebuild(x, y)
             guard = jnp.asarray(False)
         else:
+            # same self-healing semantics as Engine._step: accumulated
+            # drift -> early rebuild; single-step crossing -> fatal guard
+            drift_over = cg.displacement_exceeded(spec, lay, x, y)
             lay = jax.lax.cond(
-                step_idx % cfg.rebuild_every == 0,
+                jnp.logical_or(step_idx % cfg.rebuild_every == 0,
+                               drift_over),
                 lambda: self._rebuild(x, y),
                 lambda: lay)
-            guard = cg.displacement_exceeded(spec, lay, x, y)
+            guard = nbr.step_displacement_exceeded(
+                spec, state.x, state.y, x, y)
         geom = cg.compute_geometry(spec, lay, x, y)
 
         # tau is only OBSERVED at the per-20-step log and at the output

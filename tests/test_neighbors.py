@@ -176,6 +176,60 @@ def test_displacement_guard():
     assert not bool(nbr.displacement_exceeded(spec, cands, x_wrap, y))
 
 
+def test_step_displacement_guard():
+    """The fatal (single-step) drift check: trips only when ONE step's
+    motion crosses half the skin, min-image-wrapped."""
+    cfg = default_cfg(DL=1.0, DH=0.5, dp=0.05, end_time=1.0,
+                      neighbor_skin=0.5 * 0.05, cell_capacity=24,
+                      neighbor_capacity=64)
+    scene = build_scene(cfg)
+    x = np.asarray(scene.x, np.float32)
+    y = np.asarray(scene.y, np.float32)
+    spec, _, _ = build_cands_geom(cfg, scene, x, y)
+    x_small = x.copy()
+    x_small[0] += 0.4 * spec.skin / 2
+    assert not bool(nbr.step_displacement_exceeded(spec, x, y, x_small, y))
+    x_big = x.copy()
+    x_big[0] += 1.1 * spec.skin / 2
+    assert bool(nbr.step_displacement_exceeded(spec, x, y, x_big, y))
+    # a wrap across the seam is a SMALL min-image move, not a DL-sized one
+    x_wrap = x.copy()
+    x_wrap[0] = np.float32(np.mod(x_wrap[0] - 0.4 * spec.skin / 2, cfg.DL))
+    assert not bool(nbr.step_displacement_exceeded(spec, x, y, x_wrap, y))
+
+
+def test_accumulated_drift_self_heals_with_early_rebuild():
+    """A stale-list ACCUMULATED drift crossing must not trip the fatal
+    guard: the per-step engines heal it with an early rebuild (the
+    analogue of the fused engine's sub-chunk rollback). Feed a step whose
+    input positions already sit > skin/2 from the candidate refs but whose
+    own motion is small: guard stays False and the returned candidates
+    are freshly rebuilt (refs == the new positions)."""
+    from sph_poiseuille_flow_tpu.stepper import Engine, initial_state
+    cfg = default_cfg(DL=1.0, DH=0.5, dp=0.05, end_time=1.0,
+                      neighbor_skin=0.5 * 0.05, cell_capacity=24,
+                      neighbor_capacity=64, rebuild_every=8)
+    scene = build_scene(cfg)
+    eng = Engine(cfg, scene)
+    state, cands, geom, ovf = eng.init(initial_state(cfg, scene))
+    assert not bool(ovf)
+    # drift particle 0 past the half-skin budget relative to the refs
+    x_d = state.x.at[0].add(0.8 * cfg.neighbor_skin)
+    state = state._replace(x=x_d)
+    geom = nbr.compute_geometry(eng.spec, cands, state.x, state.y,
+                                state.vol)
+    assert bool(nbr.displacement_exceeded(eng.spec, cands, state.x,
+                                          state.y))
+    # step_idx=1: NOT a scheduled rebuild step (1 % 8 != 0)
+    new_state, cands2, _, dt, ovf2, guard, _, _ = eng.step(
+        state, cands, geom, step_idx=1, remain=1e-4)
+    assert not bool(guard), "accumulated drift must self-heal, not trip"
+    assert not bool(ovf2)
+    # healed: candidates were rebuilt at the new positions
+    np.testing.assert_allclose(np.asarray(cands2.ref_x),
+                               np.asarray(new_state.x), rtol=0, atol=0)
+
+
 class TestLanePackedNxPicker:
     """Lock the auto-nx cost model's picks for the validated grids: the
     integer-ratio shipping config, the legacy-margin fallback combos, the
