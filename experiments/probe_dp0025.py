@@ -14,7 +14,15 @@ A full 20 s validation at this scale is ~12 h of wall-clock on one chip
 and is out of the probe's scope; the throughput + clean guard flags are
 the scale-ceiling data point (docs/SCALING.md).
 
-Usage: python experiments/probe_dp0025.py [max_steps_per_call]
+The fused (pallas) engine hits its measured VMEM wall at this scale —
+the whole-grid carry-resident kernels need a ~110 MB scoped stack at
+ny=141 against the 100 MB grant, and Mosaic's requirement chases any
+larger grant (124 MB @ 116; same pathology as the dp=0.005 forced-ring
+case, docs/SCALING.md) — so the probe also takes an engine name to
+record the streaming XLA engine's throughput at the same scale
+(`cellgrid` keeps state in HBM and has no whole-grid VMEM residency).
+
+Usage: python experiments/probe_dp0025.py [max_steps_per_call] [engine]
 """
 
 import json
@@ -27,7 +35,7 @@ DP = 0.0025
 INTERVAL = 0.5
 
 
-def main(msd: int = 2000) -> dict:
+def main(msd: int = 2000, engine: str = "pallas") -> dict:
     import numpy as np
 
     import jax
@@ -36,21 +44,33 @@ def main(msd: int = 2000) -> dict:
     from sph_poiseuille_flow_tpu.ops import fused_cell as fc
 
     nx3 = round(3.0 / (3.0 * DP))
+    # engine-matched knobs: the fused engine's shipping config
+    # (skin 0.3dp / rebuild 128) relies on its pair-RELATIVE drift guard
+    # + rollback; the per-step engines guard ABSOLUTE displacement, and
+    # the init acoustic transient's transport shifts cross 0.15dp in one
+    # step at this resolution — their validated legacy knobs
+    # (skin 0.75dp / rebuild 8 / K=18) carry the 2.5x larger budget.
+    knobs = (dict(neighbor_skin=0.3 * DP, rebuild_every=128,
+                  cell_capacity=14, lane_pack_nx=nx3)
+             if engine == "pallas" else
+             dict(neighbor_skin=0.75 * DP, rebuild_every=8,
+                  cell_capacity=18))
     cfg = derive_config(
         DL=3.0, DH=1.0, dp=DP, rho0=1.0, mu=0.1, U_bulk=0.666667,
         c_f=15.0, end_time=20.0, output_interval=INTERVAL,
-        sort_interval=100, restart_from_file=False, engine="pallas",
-        neighbor_skin=0.3 * DP, rebuild_every=128,
-        cell_capacity=14, lane_pack_nx=nx3, neighbor_capacity=56)
+        sort_interval=100, restart_from_file=False, engine=engine,
+        neighbor_capacity=56, **knobs)
     scene = build_scene(cfg)
+    eng_name = engine
     engine = make_engine(cfg, scene)
     spec = engine.spec
-    R, L, n_groups, nyp = fc.plan(spec)
-    cm, kc = fc.cache_plan(spec, "float32")
-    info = dict(dp=DP, n_fluid=scene.n_fluid, n_total=scene.n_total,
-                nx=spec.nx, ny=spec.ny, K=spec.K, R=R, L=L,
-                n_groups=n_groups, cache_mode=cm, k_cut=kc,
-                max_steps_per_call=msd)
+    info = dict(dp=DP, engine=eng_name, n_fluid=scene.n_fluid,
+                n_total=scene.n_total, nx=spec.nx, ny=spec.ny,
+                K=spec.K, max_steps_per_call=msd)
+    if eng_name == "pallas":
+        R, L, n_groups, nyp = fc.plan(spec)
+        cm, kc = fc.cache_plan(spec, "float32")
+        info.update(R=R, L=L, n_groups=n_groups, cache_mode=cm, k_cut=kc)
     print(f"# {info}", file=sys.stderr)
 
     state = initial_state(cfg, scene)
@@ -104,4 +124,5 @@ def main(msd: int = 2000) -> dict:
 
 if __name__ == "__main__":
     msd = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
-    print(json.dumps(main(msd)))
+    eng = sys.argv[2] if len(sys.argv) > 2 else "pallas"
+    print(json.dumps(main(msd, eng)))
