@@ -35,23 +35,20 @@ def trace_one(tag, engine, state, cands, geom, interval, outdir):
 
 
 def xplane_op_times(outdir):
-    """Sum device-plane event durations by event name (best-effort
-    xplane.pb parse via the tensorboard profile plugin's proto)."""
-    from tensorboard_plugin_profile.protobuf import xplane_pb2
+    """Sum device-plane event durations by event name via
+    jax.profiler.ProfileData (no external proto deps)."""
+    from jax.profiler import ProfileData
     paths = glob.glob(outdir + "/**/*.xplane.pb", recursive=True)
     agg = {}
     for p in paths:
-        xs = xplane_pb2.XSpace()
-        with open(p, "rb") as f:
-            xs.ParseFromString(f.read())
+        xs = ProfileData.from_file(p)
         for plane in xs.planes:
             if "TPU" not in plane.name and "/device" not in plane.name:
                 continue
-            emeta = {m.id: m.name for m in plane.event_metadata.values()}
             for line in plane.lines:
                 for ev in line.events:
-                    name = emeta.get(ev.metadata_id, "?")
-                    agg[name] = agg.get(name, 0.0) + ev.duration_ps / 1e9
+                    agg[ev.name] = (agg.get(ev.name, 0.0)
+                                    + ev.duration_ns / 1e6)
     return agg    # name -> total ms
 
 
