@@ -243,12 +243,16 @@ class ShardedPallasEngine(PallasCellEngine):
         if ghost is None:
             # 4 = the kernel's cross-row dependency depth (4 sweeps x
             # 1-row stencil). A 1-device mesh needs NO ghost rows: both
-            # band edges are DOMAIN edges (walls bound y, nothing beyond),
-            # so the extended slab would only add fill-row staging cost —
-            # ghost=0 makes the --mesh 1 kernel spec identical to the
-            # single-chip plan (measured overhead 24% -> ~3%,
-            # experiments/mesh1_tpu.py). Pass ghost=4 explicitly to
-            # hardware-validate the extended-slab Mosaic compile.
+            # band edges are DOMAIN edges (walls bound y, nothing
+            # beyond), so the slab IS the whole domain and the ghost=0
+            # spec is identical to the single-chip plan — the interval
+            # loop then runs the single-chip core-carry body verbatim
+            # under shard_map (_mesh1_interval), eliminating the
+            # slot-space staging whose per-group cost measured ~20-30%
+            # (experiments/probe_mesh1_scalelen.py: the gap scales with
+            # interval length, i.e. it was per-group glue, not dispatch).
+            # Pass ghost=4 explicitly to hardware-validate the
+            # extended-slab Mosaic compile (experiments/mesh1_tpu.py).
             ghost = 4 if self.n_dev > 1 else 0
         self.ghost = int(ghost)
         super().__init__(cfg, scene)
@@ -291,8 +295,47 @@ class ShardedPallasEngine(PallasCellEngine):
             return CellEngine._run_interval(
                 self, state, lay, geom, interval_len, g=g, mu=mu,
                 t_base=t_base, step_base=step_base)
+        if self.n_dev == 1 and self.ghost == 0:
+            return self._mesh1_interval(state, lay, geom, interval_len,
+                                        g=g, mu=mu, t_base=t_base,
+                                        step_base=step_base)
         return self._chunked_interval(state, lay, geom, interval_len,
                                       g=g, mu=mu)
+
+    def _mesh1_interval(self, state: State, lay, geom, interval_len,
+                        g=None, mu=None, t_base=None, step_base=None):
+        """1-device mesh, ghost=0: run the single-chip core-carry
+        interval loop VERBATIM under ``shard_map``.
+
+        With one device the slab is the whole domain (both band edges
+        are walls) and the ghost=0 kernel spec equals the single-chip
+        plan, so the slot-space machinery of ``_chunked_interval`` —
+        per-group slab staging, the slot-ranked ``local_rebuild``, the
+        interval-final collect — buys nothing and measurably costs:
+        the wall gap vs the unsharded engine scales linearly with the
+        interval length (~23 us/step at dp=0.025,
+        experiments/probe_mesh1_scalelen.py), i.e. it is per-group
+        device glue, not dispatch. Running
+        ``PallasCellEngine._run_interval`` inside the mesh instead
+        makes the ``--mesh 1`` program the single-chip program by
+        construction (same packed rebuilds, same carry structure) while
+        Mosaic still compiles the kernels under ``shard_map`` on the
+        mesh. Trajectories stay bit-identical to the unsharded engine
+        (tests/test_parallel.py n_dev=1; hardware:
+        experiments/mesh1_tpu.py). The extended-slab slot-space path
+        remains reachable with an explicit ``ghost=4`` — the multi-chip
+        spec hardware-validation configuration."""
+
+        def run(s, la, ge, il):
+            return PallasCellEngine._run_interval(
+                self, s, la, ge, il, g=g, mu=mu, t_base=t_base,
+                step_base=step_base)
+
+        f = shard_map(run, mesh=self.mesh,
+                      in_specs=(P(), P(), P(), P()), out_specs=P(),
+                      check_vma=False)
+        return f(state, lay, geom, jnp.asarray(
+            interval_len, jnp.dtype(self.cfg.dtype)))
 
     def _chunked_interval(self, state: State, lay, geom, interval_len,
                           g=None, mu=None):

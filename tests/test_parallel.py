@@ -284,8 +284,9 @@ def _tall_pallas_cfg(**kw):
     return default_cfg(**base)
 
 
-@pytest.mark.parametrize("n_dev", [1, 2, 4, 8])
-def test_sharded_pallas_chunked_matches_single_chunked(n_dev):
+@pytest.mark.parametrize("n_dev,ghost", [(1, None), (1, 4), (2, None),
+                                         (4, None), (8, None)])
+def test_sharded_pallas_chunked_matches_single_chunked(n_dev, ghost):
     """The CHUNKED sharded interval loop (parallel/sharding.py
     _chunked_interval: per-step ppermute ghost bands, slab-LOCAL
     rebuilds ranked by particle id, drift guard + predictive scheduler on
@@ -293,9 +294,14 @@ def test_sharded_pallas_chunked_matches_single_chunked(n_dev):
     trajectory (stepper.PallasCellEngine._run_interval) BIT FOR BIT —
     same steps, same rebuild points, same pair counts, identical state.
     n_dev=2/4 exercise the scaling ppermute path (rows_loc >= ghost);
-    n_dev=8 the all_gather fallback. The 0.02 s window spans ~19 steps =
-    3 sub-chunk groups at rebuild_every=8, so at least two local rebuilds
-    (including cross-slab particle handoff) are on the compared path."""
+    n_dev=8 the all_gather fallback. (1, None) resolves to ghost=0 — the
+    shipping --mesh 1 path, which runs the single-chip loop verbatim
+    under shard_map (_mesh1_interval); (1, 4) forces the extended-slab
+    slot-space chunk loop on one device — the multi-chip-spec
+    hardware-validation configuration (experiments/mesh1_tpu.py). The
+    0.02 s window spans ~19 steps = 3 sub-chunk groups at
+    rebuild_every=8, so at least two local rebuilds (including
+    cross-slab particle handoff) are on the compared path."""
     from sph_poiseuille_flow_tpu.parallel import ShardedPallasEngine
     from sph_poiseuille_flow_tpu.stepper import PallasCellEngine
 
@@ -307,11 +313,9 @@ def test_sharded_pallas_chunked_matches_single_chunked(n_dev):
     s1, l1, g1, _ = single.init(s0)
     r1 = single.run_interval(s1, l1, g1, np.float32(0.02))
 
-    sharded = ShardedPallasEngine(cfg, scene, make_mesh(n_dev))
+    sharded = ShardedPallasEngine(cfg, scene, make_mesh(n_dev),
+                                  ghost=ghost)
     if n_dev in (1, 2, 4):
-        # n_dev=1: ghost resolves to 0 (domain-edge bands) and the loop
-        # takes the in-kernel CHUNK fast path (run_chunk) — the --mesh 1
-        # hardware-validation configuration (experiments/mesh1_tpu.py)
         assert not sharded._gather_mode
     else:
         assert sharded._gather_mode
